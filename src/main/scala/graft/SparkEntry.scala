@@ -1,13 +1,124 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.index.IndexTables
+import graft.search.SearchEngine
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB mirror in [[oracleSql]] unless it
+  * is not SQL-expressible (then the driver records a rows-only check).
+  * Column names, types and row order are aligned between the two; floating
+  * point is rounded to 4 decimals on both sides (see OracleSqls).
+  */
 object SparkEntry {
+
+  private def tables(s: SparkSession, dir: String): IndexTables =
+    IndexTables.build(Corpus.files(s, dir))
+
+  private def eng(s: SparkSession, dir: String): SearchEngine =
+    new SearchEngine(tables(s, dir))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    eng(spark, "/root/testdata/sf0.001").searchDisplay("merge sort window")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2/S3 corpus scan + F18 sha256 row invariant (input_hint)
+    "q_corpus_files" -> ((s, dir) =>
+      Corpus.files(s, dir).orderBy("doc_id")),
+    // A1 term frequencies
+    "q_tf" -> ((s, dir) =>
+      tables(s, dir).tf.orderBy("doc_id", "term")),
+    // docstats: BM25 length norm input
+    "q_docstats" -> ((s, dir) =>
+      tables(s, dir).docstats.orderBy("doc_id")),
+    // A3 global document frequency
+    "q_termstats" -> ((s, dir) =>
+      tables(s, dir).termstats.orderBy("term")),
+    // A4 corpus scalars
+    "q_corpus_stats" -> ((s, dir) => {
+      val t = tables(s, dir)
+      t.docstats.agg(round(avg(col("len")), 4).as("avgdl"))
+        .withColumn("n_docs", lit(t.nDocs))
+    }),
+    // E5 conjunctive candidates
+    "q_candidates_all" -> ((s, dir) =>
+      eng(s, dir).candidatesAll(Seq("hash", "join")).orderBy("doc_id")),
+    // E4 disjunctive candidates
+    "q_candidates_any" -> ((s, dir) =>
+      eng(s, dir).candidatesAny(Seq("dup", "vector")).orderBy("doc_id")),
+    // §3.1 flagship: multi-term BM25 top-10
+    "q_bm25_tokens" -> ((s, dir) =>
+      eng(s, dir).search("merge sort window")),
+    // rare+common term mix
+    "q_bm25_rare" -> ((s, dir) =>
+      eng(s, dir).search("dup stream")),
+    // P4 phrase semantics (conjunctive candidates + raw substring filter)
+    "q_phrase" -> ((s, dir) =>
+      eng(s, dir).search("\"hash join\"")),
+    // E1 AND over phrase-filtered sets
+    "q_bool_and" -> ((s, dir) =>
+      eng(s, dir).search("\"merge sort\" AND \"table scan\"")),
+    // E2 OR
+    "q_bool_or" -> ((s, dir) =>
+      eng(s, dir).search("\"batch batch\" OR \"window agg\"")),
+    // E3 NOT
+    "q_bool_not" -> ((s, dir) =>
+      eng(s, dir).search("\"sort merge\" NOT \"hash join\""))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = {
+    val b = OracleSqls
+    def bm25(terms: Seq[String], extraCtes: Seq[String], cand: Option[String]) =
+      (Seq(b.base) ++ extraCtes).mkString(",\n")
+        .replaceFirst(",\n$", "") + ",\n" + b.bm25Select(terms, cand)
+    def boolQ(p1: Seq[String], ph1: String, p2: Seq[String], ph2: String,
+              op: String, scoreTerms: Seq[String]) =
+      s"""${b.base},
+         |${b.phraseCte("phr1", p1, ph1)},
+         |${b.phraseCte("phr2", p2, ph2)},
+         |cand AS (SELECT doc_id FROM phr1 $op SELECT doc_id FROM phr2),
+         |${b.bm25Select(scoreTerms, Some("cand"))}""".stripMargin
+    Map(
+      "q_corpus_files" ->
+        s"""WITH ${b.filesCte}
+           |SELECT doc_id, repo, path, "commit", lang, content, sha
+           |FROM files ORDER BY doc_id""".stripMargin,
+      "q_tf" ->
+        s"${b.base}\nSELECT doc_id, term, tf FROM tf ORDER BY doc_id, term",
+      "q_docstats" ->
+        s"${b.base}\nSELECT doc_id, len FROM docstats ORDER BY doc_id",
+      "q_termstats" ->
+        s"${b.base}\nSELECT term, df FROM termstats ORDER BY term",
+      "q_corpus_stats" ->
+        s"${b.base}\nSELECT round(avgdl, 4) AS avgdl, n_docs FROM consts",
+      "q_candidates_all" ->
+        s"""${b.base},
+           |${b.candAllCte("cand", Seq("hash", "join"))}
+           |SELECT doc_id FROM cand ORDER BY doc_id""".stripMargin,
+      "q_candidates_any" ->
+        s"""${b.base}
+           |SELECT DISTINCT doc_id FROM tf WHERE term IN ('dup', 'vector')
+           |ORDER BY doc_id""".stripMargin,
+      "q_bm25_tokens" -> bm25(Seq("merge", "sort", "window"), Nil, None),
+      "q_bm25_rare" -> bm25(Seq("dup", "stream"), Nil, None),
+      "q_phrase" -> bm25(Seq("hash", "join"),
+        Seq(b.phraseCte("phr", Seq("hash", "join"), "hash join")), Some("phr")),
+      "q_bool_and" -> boolQ(Seq("merge", "sort"), "merge sort",
+        Seq("table", "scan"), "table scan", "INTERSECT",
+        Seq("merge", "sort", "table", "scan")),
+      "q_bool_or" -> boolQ(Seq("batch"), "batch batch",
+        Seq("window", "agg"), "window agg", "UNION",
+        Seq("batch", "window", "agg")),
+      "q_bool_not" -> boolQ(Seq("sort", "merge"), "sort merge",
+        Seq("hash", "join"), "hash join", "EXCEPT",
+        Seq("sort", "merge"))
+    )
+  }
 }

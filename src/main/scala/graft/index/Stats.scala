@@ -1,0 +1,79 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analyze.Analyzer
+
+/** Corpus statistics stage (SURVEY.md §2.4 A1/A3/A4, §7.1 step 3):
+  * `tf(doc_id, term, tf)`, `docstats(doc_id, len)`, `termstats(term, df)`,
+  * plus the scalars `n_docs` / `avgdl` needed by BM25.
+  *
+  * Everything here is pure declarative DataFrame code: tokenize + explode is
+  * a narrow stage fused by WholeStageCodegen; the groupBys are hash
+  * aggregations with map-side partial aggregation (the scale-correct shape of
+  * the reference's per-document counting loop, `Indexer/TextIndexer.java:32-95`).
+  */
+object Stats {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Tokenized (doc_id, term) rows. `analyzer` ∈ {"simple", "code"}.
+    * The simple analyzer stays in built-in functions (codegen'd, and
+    * DuckDB-mirrorable); the code analyzer is a Scala UDF over the same
+    * explode shape. */
+  def tokens(files: DataFrame, analyzer: String = "simple"): DataFrame =
+    analyzer match {
+      case "simple" =>
+        files.select(col("doc_id"),
+          explode(split(lower(col("content")), "[^a-z0-9]+")).as("term"))
+          .filter(col("term") =!= "")
+      case "code" =>
+        val tokUdf = udf((c: String) => Analyzer.codeTokens(c))
+        files.select(col("doc_id"), explode(tokUdf(col("content"))).as("term"))
+      case other => throw new IllegalArgumentException(s"analyzer: $other")
+    }
+
+  /** tf(doc_id, term, tf) — A1. */
+  def tf(files: DataFrame, analyzer: String = "simple"): DataFrame =
+    tokens(files, analyzer).groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** docstats(doc_id, len) — document length in tokens (BM25 length norm). */
+  def docstats(tf: DataFrame): DataFrame =
+    tf.groupBy("doc_id").agg(sum("tf").as("len"))
+
+  /** termstats(term, df) — global document frequency (SURVEY.md §7.4 #2:
+    * global df at index time, not the reference's candidate-filtered df). */
+  def termstats(tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** (n_docs, avgdl). n_docs counts all corpus files (reference
+    * `dbManager.java:319-322` counts the whole collection); avgdl averages
+    * over docs that produced tokens. */
+  def scalars(files: DataFrame, docstats: DataFrame): (Long, Double) = {
+    val n = files.count()
+    val avgdl = docstats.agg(avg(col("len"))).head.getDouble(0)
+    (n, avgdl)
+  }
+}
+
+/** All derived tables for one corpus, built once and reused by the query
+  * entries. Small-scale convenience wrapper; the scale path persists these
+  * as bucketed tables (see graft.index.IndexBuilder). */
+final case class IndexTables(
+    files: DataFrame,
+    tf: DataFrame,
+    docstats: DataFrame,
+    termstats: DataFrame,
+    nDocs: Long,
+    avgdl: Double)
+
+object IndexTables {
+  def build(files: DataFrame, analyzer: String = "simple"): IndexTables = {
+    val tf = Stats.tf(files, analyzer)
+    val ds = Stats.docstats(tf)
+    val ts = Stats.termstats(tf)
+    val (n, avgdl) = Stats.scalars(files, ds)
+    IndexTables(files, tf, ds, ts, n, avgdl)
+  }
+}
