@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
-import graft.index.IndexTables
-import graft.search.SearchEngine
+import graft.index.{IndexTables, InvertedIndex}
+import graft.search.{CompressedSearchEngine, SearchEngine}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,6 +20,12 @@ object SparkEntry {
 
   private def eng(s: SparkSession, dir: String): SearchEngine =
     new SearchEngine(tables(s, dir))
+
+  private def ceng(s: SparkSession, dir: String): CompressedSearchEngine = {
+    val t = tables(s, dir)
+    val idx = InvertedIndex.build(t.tf, t.docstats, t.nDocs, t.avgdl)
+    new CompressedSearchEngine(idx, t.nDocs, t.avgdl)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -68,7 +74,22 @@ object SparkEntry {
       eng(s, dir).search("\"batch batch\" OR \"window agg\"")),
     // E3 NOT
     "q_bool_not" -> ((s, dir) =>
-      eng(s, dir).search("\"sort merge\" NOT \"hash join\""))
+      eng(s, dir).search("\"sort merge\" NOT \"hash join\"")),
+    // A2 + §2.11: delta-gap varbyte posting Aggregator — encode∘decode = id
+    "q_index_roundtrip" -> ((s, dir) =>
+      ceng(s, dir).decoded(None).orderBy("term", "doc_id")),
+    // block-max skip metadata (128-posting blocks)
+    "q_index_stats" -> ((s, dir) =>
+      ceng(s, dir).index.groupBy("term")
+        .agg(first(col("df")).as("df"),
+          sum(size(col("blocks"))).cast("long").as("nblocks"))
+        .orderBy("term")),
+    // BM25 over the compressed index — must equal the uncompressed path
+    "q_bm25_compressed" -> ((s, dir) =>
+      ceng(s, dir).searchTopK(Seq("merge", "sort", "window"))),
+    // MaxScore/block-range pruned top-k — rank-identical to exhaustive
+    "q_bm25_pruned" -> ((s, dir) =>
+      ceng(s, dir).searchPruned(Seq("merge", "sort", "window")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -118,7 +139,18 @@ object SparkEntry {
         Seq("batch", "window", "agg")),
       "q_bool_not" -> boolQ(Seq("sort", "merge"), "sort merge",
         Seq("hash", "join"), "hash join", "EXCEPT",
-        Seq("sort", "merge"))
+        Seq("sort", "merge")),
+      "q_index_roundtrip" ->
+        s"""${b.base}
+           |SELECT tf.term, ts.df, tf.doc_id, tf.tf, ds.len
+           |FROM tf JOIN termstats ts USING (term) JOIN docstats ds USING (doc_id)
+           |ORDER BY tf.term, tf.doc_id""".stripMargin,
+      "q_index_stats" ->
+        s"""${b.base}
+           |SELECT term, df, CAST(ceil(df / 128.0) AS BIGINT) AS nblocks
+           |FROM termstats ORDER BY term""".stripMargin,
+      "q_bm25_compressed" -> bm25(Seq("merge", "sort", "window"), Nil, None),
+      "q_bm25_pruned" -> bm25(Seq("merge", "sort", "window"), Nil, None)
     )
   }
 }

@@ -1,0 +1,128 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+import PostingCodec.{BlockMeta, Posting}
+
+/** Segment-encoded posting run (stage-1 output): one sorted varbyte run per
+  * (term, salt-bucket). */
+final case class TfRow(doc_id: Long, tf: Int, len: Int)
+
+/** One bounded chunk of a term's final posting list. Chunks split a term's
+  * postings every [[InvertedIndex.ChunkSize]] entries so a single row (and a
+  * single decode task) stays bounded even for ubiquitous code tokens at
+  * 10^12-file scale — the document-partitioned layout ubiquitous in sharded
+  * IR systems. `max_weight` is the chunk-level bound (max over its blocks).
+  */
+final case class IndexChunk(chunk_id: Int, first_doc_id: Long,
+                            last_doc_id: Long, n: Int, max_weight: Double,
+                            blocks: Array[BlockMeta], postings: Array[Byte])
+
+final case class TermChunks(df: Long, chunks: Array[IndexChunk])
+
+/** Stage 1: (doc_id, tf, len) rows of one (term, salt) group → one sorted
+  * encoded run. Spark runs this as an ObjectHashAggregate with map-side
+  * partial aggregation — the "salted, skew-aware shuffle keyed by term" of
+  * the north rule: no single task ever materializes a hot term's full list
+  * during the wide stage.
+  *
+  * Replaces the reference's in-heap ConcurrentHashMap index build
+  * (`Indexer/TextIndexer.java:16, 50-94`) and per-(term,doc) Mongo upserts
+  * (`dbManager/dbManager.java:178-237`).
+  */
+final class SegmentAgg(avgdl: Double, k1: Double, b: Double)
+    extends Aggregator[TfRow, ArrayBuffer[TfRow], Array[Byte]] {
+  def zero: ArrayBuffer[TfRow] = ArrayBuffer.empty
+  def reduce(buf: ArrayBuffer[TfRow], row: TfRow): ArrayBuffer[TfRow] = { buf += row; buf }
+  def merge(a: ArrayBuffer[TfRow], b2: ArrayBuffer[TfRow]): ArrayBuffer[TfRow] = { a ++= b2; a }
+  def finish(buf: ArrayBuffer[TfRow]): Array[Byte] = {
+    val arr = buf.map(r => Posting(r.doc_id, r.tf, r.len)).toArray
+    java.util.Arrays.sort(arr, Ordering.by[Posting, Long](_.doc_id))
+    val out = new ArrayBuffer[Byte](arr.length * 3)
+    var prev = -1L
+    for (p <- arr) {
+      PostingCodec.writeVLong(out, p.doc_id - prev)
+      PostingCodec.writeVLong(out, p.tf.toLong)
+      PostingCodec.writeVLong(out, p.len.toLong)
+      prev = p.doc_id
+    }
+    out.toArray
+  }
+  def bufferEncoder: Encoder[ArrayBuffer[TfRow]] = Encoders.kryo[ArrayBuffer[TfRow]]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Stage 2: merge one term's segment runs (sorted, docId-range-disjoint by
+  * construction → concatenation fast path) into block-max chunks. */
+final class MergeAgg(avgdl: Double, k1: Double, b: Double, chunkSize: Int)
+    extends Aggregator[Array[Byte], ArrayBuffer[Array[Byte]], TermChunks] {
+  def zero: ArrayBuffer[Array[Byte]] = ArrayBuffer.empty
+  def reduce(buf: ArrayBuffer[Array[Byte]], seg: Array[Byte]): ArrayBuffer[Array[Byte]] = {
+    buf += seg; buf
+  }
+  def merge(a: ArrayBuffer[Array[Byte]], b2: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] = {
+    a ++= b2; a
+  }
+  def finish(buf: ArrayBuffer[Array[Byte]]): TermChunks = {
+    val merged = PostingCodec.mergeRuns(buf.map(PostingCodec.decode).toSeq)
+    val chunks = merged.grouped(chunkSize).zipWithIndex.map { case (ps, i) =>
+      val (bytes, blocks) = PostingCodec.encode(ps, avgdl, k1, b)
+      IndexChunk(i, ps.head.doc_id, ps.last.doc_id, ps.length,
+        blocks.map(_.max_weight).max, blocks, bytes)
+    }.toArray
+    TermChunks(merged.length.toLong, chunks)
+  }
+  def bufferEncoder: Encoder[ArrayBuffer[Array[Byte]]] =
+    Encoders.kryo[ArrayBuffer[Array[Byte]]]
+  def outputEncoder: Encoder[TermChunks] = Encoders.product[TermChunks]
+}
+
+/** Builder for the compressed inverted index (SURVEY.md §7.1 step 4).
+  *
+  * Pipeline: tf ⋈ docstats (narrow after co-grouping) → stage-1 salted
+  * partial aggregation groupBy(term, salt) → stage-2 merge groupBy(term) →
+  * explode chunks. Salt = doc_id range bucket, so stage-2 merge is a
+  * concatenation of disjoint runs (no re-sort).
+  *
+  * Final layout: `index(term, df, chunk_id, first_doc_id, last_doc_id, n,
+  * max_weight, blocks, postings)`; [[write]] range-partitions by term so
+  * parquet min/max stats prune segment files by query term at read time.
+  */
+object InvertedIndex {
+  val ChunkSize = 1 << 17
+
+  /** index rows from tf + docstats. `saltBuckets` bounds stage-1 group size:
+    * each (term, salt) group holds at most ~nDocs/saltBuckets postings. */
+  def build(tf: DataFrame, docstats: DataFrame, nDocs: Long, avgdl: Double,
+            saltBuckets: Int = 32): DataFrame = {
+    val spark = tf.sparkSession
+    val k1 = Stats.K1; val b = Stats.B
+    val segUdaf = udaf(new SegmentAgg(avgdl, k1, b))
+    val mergeUdaf = udaf(new MergeAgg(avgdl, k1, b, ChunkSize))
+    val bucketWidth = math.max(1L, nDocs / saltBuckets)
+    val enriched = tf.join(docstats, Seq("doc_id"))
+    val segments = enriched
+      .groupBy(col("term"), (col("doc_id") / bucketWidth).cast("long").as("salt"))
+      .agg(segUdaf(col("doc_id"), col("tf"), col("len")).as("seg"))
+    segments
+      .groupBy("term")
+      .agg(mergeUdaf(col("seg")).as("tc"))
+      .select(col("term"), col("tc.df").as("df"),
+        explode(col("tc.chunks")).as("chunk"))
+      .select(col("term"), col("df"), col("chunk.*"))
+  }
+
+  /** Persist with explicit range partitioning of terms (north rule): each
+    * output file covers a contiguous term range → min/max parquet stats give
+    * query-term file pruning, and heavy terms are spread over the range
+    * space rather than hashed into one file. */
+  def write(index: DataFrame, path: String, nPartitions: Int = 32): Unit =
+    index.repartitionByRange(nPartitions, col("term"), col("chunk_id"))
+      .sortWithinPartitions("term", "chunk_id")
+      .write.mode("overwrite").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

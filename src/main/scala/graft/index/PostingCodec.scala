@@ -1,0 +1,139 @@
+package graft.index
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Posting-list wire format (north rule: sorted docID arrays, delta-gap +
+  * var-byte, block-max skip metadata).
+  *
+  * The reference stores one BSON subdocument per (term, doc) with no
+  * compression or skip data (`dbManager/dbManager.java:195-206`); this is the
+  * from-scratch compressed layout replacing it (SURVEY.md §4.2).
+  *
+  * Stream layout (per chunk, independent — decoder starts with prev = -1):
+  *   repeat n times: vlong(gap = doc_id - prev), vint(tf), vint(len)
+  * Postings are grouped in blocks of [[BlockSize]]; per block we keep
+  * `(last_doc_id, max_tf, max_weight, offset)` where `max_weight` is the
+  * maximum BM25 term weight (tf/len part, excluding idf) inside the block —
+  * the block-max bound used by MaxScore/WAND pruning. A decoder can seek to
+  * block i using blocks(i-1).last_doc_id as the delta base.
+  */
+object PostingCodec {
+  val BlockSize = 128
+
+  final case class Posting(doc_id: Long, tf: Int, len: Int)
+  final case class BlockMeta(last_doc_id: Long, max_tf: Int,
+                             max_weight: Double, offset: Int)
+
+  /** BM25 per-term weight without idf: tf(k1+1) / (tf + k1(1-b+b·len/avgdl)). */
+  def weight(tf: Int, len: Int, avgdl: Double, k1: Double, b: Double): Double =
+    (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * len / avgdl))
+
+  // ---- varbyte (LEB128, unsigned) ----
+  def writeVLong(out: ArrayBuffer[Byte], v0: Long): Unit = {
+    var v = v0
+    require(v >= 0, s"varint must be non-negative: $v")
+    while ((v & ~0x7fL) != 0L) {
+      out += ((v & 0x7f) | 0x80).toByte
+      v >>>= 7
+    }
+    out += v.toByte
+  }
+
+  final class Reader(val bytes: Array[Byte], var pos: Int) {
+    def readVLong(): Long = {
+      var shift = 0
+      var v = 0L
+      var b = bytes(pos)
+      pos += 1
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        b = bytes(pos)
+        pos += 1
+      }
+      v | ((b & 0x7fL) << shift)
+    }
+    def readVInt(): Int = readVLong().toInt
+    def hasMore: Boolean = pos < bytes.length
+  }
+
+  /** Encode sorted, distinct postings into (bytes, blockMeta). */
+  def encode(postings: Array[Posting], avgdl: Double,
+             k1: Double, b: Double): (Array[Byte], Array[BlockMeta]) = {
+    val out = new ArrayBuffer[Byte](postings.length * 3)
+    val blocks = new ArrayBuffer[BlockMeta]
+    var prev = -1L
+    var i = 0
+    while (i < postings.length) {
+      val offset = out.length
+      var maxTf = 0
+      var maxW = 0.0
+      var lastDoc = prev
+      val end = math.min(i + BlockSize, postings.length)
+      while (i < end) {
+        val p = postings(i)
+        require(p.doc_id > prev, s"postings must be sorted distinct: ${p.doc_id} after $prev")
+        writeVLong(out, p.doc_id - prev)
+        writeVLong(out, p.tf.toLong)
+        writeVLong(out, p.len.toLong)
+        prev = p.doc_id
+        lastDoc = p.doc_id
+        if (p.tf > maxTf) maxTf = p.tf
+        val w = weight(p.tf, p.len, avgdl, k1, b)
+        if (w > maxW) maxW = w
+        i += 1
+      }
+      blocks += BlockMeta(lastDoc, maxTf, maxW, offset)
+    }
+    (out.toArray, blocks.toArray)
+  }
+
+  /** Decode a full chunk (prev starts at -1). */
+  def decode(bytes: Array[Byte]): Array[Posting] = {
+    val r = new Reader(bytes, 0)
+    val out = new ArrayBuffer[Posting]
+    var prev = -1L
+    while (r.hasMore) {
+      val doc = prev + r.readVLong()
+      out += Posting(doc, r.readVInt(), r.readVInt())
+      prev = doc
+    }
+    out.toArray
+  }
+
+  /** Decode one block given its metadata and the previous block's last doc
+    * (-1 for the first block) — the skip-pointer read path. */
+  def decodeBlock(bytes: Array[Byte], offset: Int, prevLastDoc: Long,
+                  count: Int): Array[Posting] = {
+    val r = new Reader(bytes, offset)
+    val out = new Array[Posting](count)
+    var prev = prevLastDoc
+    var i = 0
+    while (i < count && r.hasMore) {
+      val doc = prev + r.readVLong()
+      out(i) = Posting(doc, r.readVInt(), r.readVInt())
+      prev = doc
+      i += 1
+    }
+    if (i == count) out else out.take(i)
+  }
+
+  /** Merge sorted runs into one sorted array. Fast path: runs whose docId
+    * ranges are pairwise disjoint (the salted range-bucket build produces
+    * these) are concatenated; otherwise a k-way merge. (term, doc) pairs are
+    * unique upstream (groupBy), so no combining is needed. */
+  def mergeRuns(runs: Seq[Array[Posting]]): Array[Posting] = {
+    val nonEmpty = runs.filter(_.nonEmpty).sortBy(_.head.doc_id)
+    if (nonEmpty.isEmpty) return Array.empty
+    val disjoint = nonEmpty.sliding(2).forall {
+      case Seq(a, b) => a.last.doc_id < b.head.doc_id
+      case _         => true
+    }
+    if (disjoint) Array.concat(nonEmpty: _*)
+    else {
+      val all = Array.concat(nonEmpty: _*)
+      java.util.Arrays.sort(all, Ordering.by[Posting, Long](_.doc_id))
+      all
+    }
+  }
+}

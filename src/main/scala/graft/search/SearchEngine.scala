@@ -51,13 +51,6 @@ final class SearchEngine(val t: IndexTables, val analyzer: String = "simple") {
       .select("doc_id")
   }
 
-  /** BM25 per-(doc,term) partial score column. */
-  private def bm25Weight(avgdl: Double, nDocs: Long): Column = {
-    val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val norm = col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("len") / avgdl)
-    idf * (col("tf") * (K1 + 1)) / norm
-  }
-
   /** Score `candidates` (or all matching docs if None) against `terms`,
     * returning top-k (doc_id, score) with the deterministic tiebreak. */
   def scoreTopK(terms: Seq[String], candidates: Option[DataFrame], k: Int): DataFrame = {
@@ -69,7 +62,7 @@ final class SearchEngine(val t: IndexTables, val analyzer: String = "simple") {
     base
       .join(ts, Seq("term"))
       .join(t.docstats, Seq("doc_id"))
-      .withColumn("w", bm25Weight(t.avgdl, t.nDocs))
+      .withColumn("w", BM25.weight(t.avgdl, t.nDocs))
       .groupBy("doc_id")
       .agg(round(sum(col("w")), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
