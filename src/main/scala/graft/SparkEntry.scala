@@ -89,7 +89,15 @@ object SparkEntry {
       ceng(s, dir).searchTopK(Seq("merge", "sort", "window"))),
     // MaxScore/block-range pruned top-k — rank-identical to exhaustive
     "q_bm25_pruned" -> ((s, dir) =>
-      ceng(s, dir).searchPruned(Seq("merge", "sort", "window")))
+      ceng(s, dir).searchPruned(Seq("merge", "sort", "window"))),
+    // S7 checkpointed build + resume: full bucketed pipeline with lineage
+    // manifests, then query the published index
+    "q_bm25_checkpointed" -> ((s, dir) => {
+      val out = s"/tmp/graft_ckpt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.checkpoint.CheckpointedBuild.run(Corpus.files(s, dir), out, nBuckets = 4)
+      graft.checkpoint.CheckpointedBuild.load(s, out)
+        .searchTopK(Seq("merge", "sort", "window"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -150,7 +158,8 @@ object SparkEntry {
            |SELECT term, df, CAST(ceil(df / 128.0) AS BIGINT) AS nblocks
            |FROM termstats ORDER BY term""".stripMargin,
       "q_bm25_compressed" -> bm25(Seq("merge", "sort", "window"), Nil, None),
-      "q_bm25_pruned" -> bm25(Seq("merge", "sort", "window"), Nil, None)
+      "q_bm25_pruned" -> bm25(Seq("merge", "sort", "window"), Nil, None),
+      "q_bm25_checkpointed" -> bm25(Seq("merge", "sort", "window"), Nil, None)
     )
   }
 }

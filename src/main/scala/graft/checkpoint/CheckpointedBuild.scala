@@ -1,0 +1,151 @@
+package graft.checkpoint
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.{InvertedIndex, Stats}
+import graft.search.CompressedSearchEngine
+
+/** Resumable index build with per-partition lineage + metrics (north rule:
+  * "resumable from Iceberg-snapshot checkpoints with per-partition lineage
+  * and metrics (rows, postings, bytes, sha256 of content verified per row)").
+  *
+  * The input corpus is split into `nBuckets` doc_id-range buckets — the
+  * offline stand-in for Iceberg snapshot deltas (SURVEY.md §7.4 #7; the
+  * reference's only resumability mechanism is its crawler-state checkpoint,
+  * `dbManager/dbManager.java:83-123`, saved every 5 min,
+  * `Crawler/Crawler.java:152-154`). Each bucket job:
+  *
+  *   1. scans its slice, re-verifies the sha256 row invariant,
+  *   2. writes salted posting segments + slice docstats to bucket dirs,
+  *   3. records a manifest `(partition_id, snapshot_id, rows, postings,
+  *      bytes, sha_ok, status)` — metrics collected via `Observation`
+  *      (A12 in SURVEY.md), snapshot_id = order-independent content hash.
+  *
+  * A restart skips buckets whose manifest says `complete` (write-audit-
+  * publish: the manifest is written only after the bucket's data is on
+  * disk). The merge phase rebuilds the final chunked index from all segment
+  * runs and publishes `scalars.json` last. Resumed == fresh is asserted by
+  * property test.
+  */
+object CheckpointedBuild {
+
+  final case class BucketManifest(partition_id: Int, snapshot_id: String,
+                                  rows: Long, postings: Long, bytes: Long,
+                                  sha_ok: Long, status: String)
+
+  final case class BuildStats(nDocs: Long, avgdl: Double, buckets: Int)
+
+  /** Test hook: thrown when `failAfterBuckets` is reached. */
+  final class InjectedFailure(msg: String) extends RuntimeException(msg)
+
+  private def manifestPath(outDir: String, b: Int) =
+    Paths.get(s"$outDir/manifest/bucket-$b.json")
+
+  private def writeManifest(outDir: String, m: BucketManifest): Unit = {
+    Files.createDirectories(Paths.get(s"$outDir/manifest"))
+    val json =
+      s"""{"partition_id": ${m.partition_id}, "snapshot_id": "${m.snapshot_id}",
+         | "rows": ${m.rows}, "postings": ${m.postings}, "bytes": ${m.bytes},
+         | "sha_ok": ${m.sha_ok}, "status": "${m.status}"}""".stripMargin
+    val tmp = Paths.get(s"$outDir/manifest/.bucket-${m.partition_id}.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestPath(outDir, m.partition_id),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readManifests(outDir: String): Seq[BucketManifest] = {
+    val dir = Paths.get(s"$outDir/manifest")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+      .map { p =>
+        val s = Files.readString(p)
+        def l(k: String) = s"""\"$k\":\\s*(\\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+        def str(k: String) = s"""\"$k\":\\s*\"([^\"]*)\"""".r.findFirstMatchIn(s).get.group(1)
+        BucketManifest(l("partition_id").toInt, str("snapshot_id"), l("rows"),
+          l("postings"), l("bytes"), l("sha_ok"), str("status"))
+      }
+  }
+
+  private def isComplete(outDir: String, b: Int): Boolean = {
+    val p = manifestPath(outDir, b)
+    Files.exists(p) && Files.readString(p).contains("\"status\": \"complete\"")
+  }
+
+  /** Run (or resume) the bucketed build. Returns corpus stats. */
+  def run(files: DataFrame, outDir: String, nBuckets: Int = 8,
+          saltBuckets: Int = 32, analyzer: String = "simple",
+          failAfterBuckets: Int = Int.MaxValue): BuildStats = {
+    val spark = files.sparkSession
+    Files.createDirectories(Paths.get(outDir))
+    val bounds = files.agg(min("doc_id"), max("doc_id")).head()
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (maxId - minId + nBuckets) / nBuckets)
+
+    var done = 0
+    for (b <- 0 until nBuckets) {
+      if (!isComplete(outDir, b)) {
+        if (done >= failAfterBuckets)
+          throw new InjectedFailure(s"injected failure before bucket $b")
+        val lo = minId + b * width
+        val hi = lo + width // exclusive
+        val slice = files.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        // per-row invariant verified inside the scan (BASELINE.json:15)
+        val obs = Observation(s"bucket-$b")
+        val observed = slice.observe(obs,
+          count(lit(1)).as("rows"),
+          sum(when(sha2(col("content"), 256) === col("sha"), 1L).otherwise(0L)).as("sha_ok"),
+          bit_xor(xxhash64(col("doc_id"), col("sha"))).as("snap"))
+        val tfb = Stats.tf(observed, analyzer)
+        val dsb = Stats.docstats(tfb)
+        val segObs = Observation(s"seg-$b")
+        val seg = InvertedIndex
+          .segments(tfb, dsb, nDocs = math.max(1L, width), saltBuckets)
+          .observe(segObs, count(lit(1)).as("groups"),
+            sum(length(col("seg"))).as("bytes"))
+        dsb.write.mode("overwrite").parquet(s"$outDir/docstats/bucket=$b")
+        seg.write.mode("overwrite").parquet(s"$outDir/segments/bucket=$b")
+        val m = obs.get
+        val sm = segObs.get
+        val rows = m("rows").asInstanceOf[Long]
+        val shaOk = if (rows == 0) 0L else m("sha_ok").asInstanceOf[Long]
+        require(shaOk == rows, s"sha256 invariant violated in bucket $b: $shaOk/$rows")
+        val nPostings = spark.read.parquet(s"$outDir/segments/bucket=$b")
+          .agg(coalesce(sum(udfDecodeCount(col("seg"))), lit(0L))).head().getLong(0)
+        val snap = if (rows == 0) "empty"
+          else java.lang.Long.toHexString(m("snap").asInstanceOf[Long])
+        writeManifest(outDir, BucketManifest(b, snap, rows, nPostings,
+          if (rows == 0) 0L else sm("bytes").asInstanceOf[Long],
+          shaOk, "complete"))
+      }
+      done += 1
+    }
+
+    // merge + publish (rerun unconditionally; cheap relative to bucket scans)
+    val segAll = spark.read.parquet(s"$outDir/segments")
+    val dsAll = spark.read.parquet(s"$outDir/docstats")
+    val nDocs = readManifests(outDir).map(_.rows).sum
+    val avgdl = dsAll.agg(avg("len")).head().getDouble(0)
+    val index = InvertedIndex.mergeSegments(segAll.select("term", "seg"), avgdl)
+    InvertedIndex.write(index, s"$outDir/index")
+    dsAll.select("doc_id", "len").write.mode("overwrite")
+      .parquet(s"$outDir/docstats_merged")
+    Files.writeString(Paths.get(s"$outDir/scalars.json"),
+      s"""{"n_docs": $nDocs, "avgdl": $avgdl, "buckets": $nBuckets, "status": "published"}""")
+    BuildStats(nDocs, avgdl, nBuckets)
+  }
+
+  private val udfDecodeCount =
+    udf((seg: Array[Byte]) => graft.index.PostingCodec.decode(seg).length.toLong)
+
+  /** Load a published checkpointed index as a query engine. */
+  def load(spark: SparkSession, outDir: String): CompressedSearchEngine = {
+    val scalars = Files.readString(Paths.get(s"$outDir/scalars.json"))
+    require(scalars.contains("\"status\": \"published\""), s"index at $outDir not published")
+    val n = """"n_docs":\s*(\d+)""".r.findFirstMatchIn(scalars).get.group(1).toLong
+    val avgdl = """"avgdl":\s*([0-9.Ee+-]+)""".r.findFirstMatchIn(scalars).get.group(1).toDouble
+    new CompressedSearchEngine(InvertedIndex.load(spark, s"$outDir/index"), n, avgdl)
+  }
+}

@@ -32,7 +32,7 @@ final case class TermChunks(df: Long, chunks: Array[IndexChunk])
   * (`Indexer/TextIndexer.java:16, 50-94`) and per-(term,doc) Mongo upserts
   * (`dbManager/dbManager.java:178-237`).
   */
-final class SegmentAgg(avgdl: Double, k1: Double, b: Double)
+final class SegmentAgg
     extends Aggregator[TfRow, ArrayBuffer[TfRow], Array[Byte]] {
   def zero: ArrayBuffer[TfRow] = ArrayBuffer.empty
   def reduce(buf: ArrayBuffer[TfRow], row: TfRow): ArrayBuffer[TfRow] = { buf += row; buf }
@@ -97,15 +97,22 @@ object InvertedIndex {
     * each (term, salt) group holds at most ~nDocs/saltBuckets postings. */
   def build(tf: DataFrame, docstats: DataFrame, nDocs: Long, avgdl: Double,
             saltBuckets: Int = 32): DataFrame = {
-    val spark = tf.sparkSession
-    val k1 = Stats.K1; val b = Stats.B
-    val segUdaf = udaf(new SegmentAgg(avgdl, k1, b))
-    val mergeUdaf = udaf(new MergeAgg(avgdl, k1, b, ChunkSize))
+    mergeSegments(segments(tf, docstats, nDocs, saltBuckets), avgdl)
+  }
+
+  /** Stage 1: salted partial posting runs (term, salt, seg). */
+  def segments(tf: DataFrame, docstats: DataFrame, nDocs: Long,
+               saltBuckets: Int = 32): DataFrame = {
+    val segUdaf = udaf(new SegmentAgg)
     val bucketWidth = math.max(1L, nDocs / saltBuckets)
-    val enriched = tf.join(docstats, Seq("doc_id"))
-    val segments = enriched
+    tf.join(docstats, Seq("doc_id"))
       .groupBy(col("term"), (col("doc_id") / bucketWidth).cast("long").as("salt"))
       .agg(segUdaf(col("doc_id"), col("tf"), col("len")).as("seg"))
+  }
+
+  /** Stage 2: merge (term, salt, seg) runs into the final chunked index. */
+  def mergeSegments(segments: DataFrame, avgdl: Double): DataFrame = {
+    val mergeUdaf = udaf(new MergeAgg(avgdl, Stats.K1, Stats.B, ChunkSize))
     segments
       .groupBy("term")
       .agg(mergeUdaf(col("seg")).as("tc"))

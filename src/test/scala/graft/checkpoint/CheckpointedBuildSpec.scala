@@ -1,0 +1,70 @@
+package graft.checkpoint
+
+import graft.SparkSpec
+import graft.corpus.Corpus
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class CheckpointedBuildSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-ckpt-$tag").toString
+
+  private lazy val files = Corpus.files(spark, "/root/testdata/sf0.001").cache()
+
+  test("fresh build publishes manifests, metrics and a queryable index") {
+    val out = tmpDir("fresh")
+    val stats = CheckpointedBuild.run(files, out, nBuckets = 4)
+    assert(stats.nDocs === files.count())
+    val ms = CheckpointedBuild.readManifests(out)
+    assert(ms.length === 4)
+    assert(ms.forall(_.status === "complete"))
+    assert(ms.map(_.rows).sum === stats.nDocs)
+    assert(ms.forall(m => m.sha_ok === m.rows)) // sha256 invariant per row
+    assert(ms.map(_.postings).sum ===
+      graft.index.Stats.tf(files).count())
+    val eng = CheckpointedBuild.load(spark, out)
+    val hits = eng.searchTopK(Seq("merge", "sort"), 10).collect()
+    assert(hits.nonEmpty)
+  }
+
+  test("resume after mid-build failure == fresh build") {
+    val freshDir = tmpDir("a")
+    val resumeDir = tmpDir("b")
+    CheckpointedBuild.run(files, freshDir, nBuckets = 4)
+    // interrupted run: dies after 2 buckets
+    intercept[CheckpointedBuild.InjectedFailure] {
+      CheckpointedBuild.run(files, resumeDir, nBuckets = 4, failAfterBuckets = 2)
+    }
+    assert(CheckpointedBuild.readManifests(resumeDir).count(_.status == "complete") === 2)
+    // resumed run completes only the remaining buckets
+    CheckpointedBuild.run(files, resumeDir, nBuckets = 4)
+    val a = CheckpointedBuild.load(spark, freshDir)
+    val b = CheckpointedBuild.load(spark, resumeDir)
+    val da = a.decoded(None).orderBy("term", "doc_id").collect().toSeq
+    val db = b.decoded(None).orderBy("term", "doc_id").collect().toSeq
+    assert(da === db)
+    assert(a.nDocs === b.nDocs)
+    assert(math.abs(a.avgdl - b.avgdl) < 1e-12)
+    // manifests of untouched buckets carry identical lineage
+    val ma = CheckpointedBuild.readManifests(freshDir)
+    val mb = CheckpointedBuild.readManifests(resumeDir)
+    assert(ma.map(m => (m.partition_id, m.snapshot_id, m.rows, m.postings)) ===
+      mb.map(m => (m.partition_id, m.snapshot_id, m.rows, m.postings)))
+  }
+
+  test("checkpointed search equals direct in-memory build") {
+    val out = tmpDir("eq")
+    CheckpointedBuild.run(files, out, nBuckets = 3)
+    val ck = CheckpointedBuild.load(spark, out)
+    val t = graft.index.IndexTables.build(files)
+    val direct = new graft.search.CompressedSearchEngine(
+      graft.index.InvertedIndex.build(t.tf, t.docstats, t.nDocs, t.avgdl),
+      t.nDocs, t.avgdl)
+    val got = ck.searchTopK(Seq("merge", "sort", "window"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = direct.searchTopK(Seq("merge", "sort", "window"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want)
+  }
+}
