@@ -1,0 +1,203 @@
+package graft
+
+/** DuckDB oracle SQL for the training-data pipeline operators
+  * (graft.ops.*), mirroring each Spark op bit-for-bit (same md5-based hash
+  * families, same integer arithmetic, doubles rounded to 4 decimals). */
+object OpsOracles {
+
+  /** words + 3-word shingles over documents (mirrors Dedup.wordsCol/shingles;
+    * note DuckDB array subscripts are 1-based, Spark's 0-based — both yield
+    * the same triples). */
+  val wordsCtes: String =
+    """w AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                     x -> x <> '') AS words
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+      |           i -> concat_ws(' ', words[CAST(i AS INT)],
+      |             words[CAST(i AS INT) + 1], words[CAST(i AS INT) + 2]))) AS shingle
+      |  FROM w
+      |)""".stripMargin
+
+  val dedupExact: String =
+    """SELECT md5(text) AS grp, min(doc_id) AS keeper, count(*) AS n_dups
+      |FROM documents GROUP BY md5(text) ORDER BY grp""".stripMargin
+
+  val minhashSigCtes: String =
+    """msig AS (
+      |  SELECT doc_id, h,
+      |         min(md5(CAST(h AS VARCHAR) || '|' || shingle)) AS sig
+      |  FROM (SELECT DISTINCT doc_id, shingle FROM sh) s, range(0, 16) r(h)
+      |  GROUP BY doc_id, h
+      |)""".stripMargin
+
+  val minhashSig: String =
+    s"""WITH $wordsCtes,
+       |$minhashSigCtes
+       |SELECT doc_id, CAST(h AS BIGINT) AS h, sig FROM msig
+       |ORDER BY doc_id, h""".stripMargin
+
+  val minhashPairs: String =
+    s"""WITH $wordsCtes,
+       |$minhashSigCtes,
+       |bands AS (
+       |  SELECT doc_id, CAST(h // 4 AS INT) AS band,
+       |         md5(string_agg(lpad(CAST(h AS VARCHAR), 2, '0') || ':' || sig, '|'
+       |             ORDER BY lpad(CAST(h AS VARCHAR), 2, '0') || ':' || sig)) AS bucket
+       |  FROM msig GROUP BY doc_id, CAST(h // 4 AS INT)
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val ngramJaccard: String =
+    s"""WITH $wordsCtes,
+       |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin
+
+  val simhash: String =
+    s"""WITH $wordsCtes,
+       |stf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(words) AS term FROM w)
+       |  GROUP BY doc_id, term
+       |),
+       |sbits AS (
+       |  SELECT doc_id, j,
+       |         sum(tf * CASE WHEN (strpos('0123456789abcdef',
+       |               substr(md5(term), CAST(j + 1 AS INT), 1)) - 1) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS s
+       |  FROM stf, range(0, 32) r(j) GROUP BY doc_id, j
+       |)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN s > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM sbits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def cosSums(a: String, b: String): String =
+    s"""sum(CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)) AS dp,
+       |    sum(CAST($a[CAST(i AS INT)] AS DOUBLE) ** 2) AS na,
+       |    sum(CAST($b[CAST(i AS INT)] AS DOUBLE) ** 2) AS nb""".stripMargin
+
+  /** dim = 64 in the driver's embeddings tables. */
+  val annBrute: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |d AS (
+       |  SELECT e.vec_id,
+       |    ${cosSums("e.embedding", "q.qv")}
+       |  FROM embeddings e, q, range(1, 65) r(i) GROUP BY e.vec_id
+       |)
+       |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos
+       |FROM d ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  private val bucketSql: String = (0 until 8)
+    .map(d => s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1L << d} ELSE 0 END)")
+    .mkString(" + ")
+
+  val annLsh: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
+       |  FROM embeddings
+       |),
+       |q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0),
+       |d AS (
+       |  SELECT e.vec_id,
+       |    ${cosSums("e.embedding", "q.qv")}
+       |  FROM b e JOIN q ON e.bucket = q.bucket, range(1, 65) r(i)
+       |  GROUP BY e.vec_id
+       |)
+       |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos
+       |FROM d ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  val nearDupEmbed: String =
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${cosSums("a.embedding", "b.embedding")}
+       |  FROM embeddings a, embeddings b, range(1, 65) r(i)
+       |  WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id
+       |)
+       |SELECT vec_a, vec_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos
+       |FROM p ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin
+
+  private def profileSql(set: Seq[String]): String =
+    s"CAST(len(list_filter(words, x -> list_contains([${set.map(s => s"'$s'").mkString(", ")}], x))) AS BIGINT)"
+
+  val langId: String = {
+    val profiles = graft.ops.TextAnalysis.langProfiles
+    val scores = profiles.map { case (l, set) => s"${profileSql(set)} AS s_$l" }
+    val g = s"greatest(${profiles.map("s_" + _._1).mkString(", ")})"
+    val cases = profiles.map { case (l, _) =>
+      s"WHEN g > 0 AND s_$l = g THEN '$l'"
+    }.mkString(" ")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                     x -> x <> '') AS words
+       |  FROM documents
+       |),
+       |scored AS (SELECT doc_id, ${scores.mkString(", ")} FROM w),
+       |best AS (SELECT doc_id, ${profiles.map("s_" + _._1).mkString(", ")}, $g AS g FROM scored)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred, g AS score
+       |FROM best ORDER BY doc_id""".stripMargin
+  }
+
+  val quality: String =
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                     x -> x <> '') AS words
+      |  FROM documents
+      |),
+      |f AS (
+      |  SELECT doc_id,
+      |         CAST(len(words) AS BIGINT) AS n_words,
+      |         CAST(length(text) AS BIGINT) AS n_chars,
+      |         CAST(len(list_filter(words,
+      |           x -> list_contains(['the', 'a', 'and', 'of'], x))) AS DOUBLE) AS ns
+      |  FROM w
+      |)
+      |SELECT doc_id, n_words, n_chars,
+      |       round(ns / greatest(n_words, 1), 4) AS stop_ratio,
+      |       round(least(n_words / 100.0, 1.0) * (1 - ns / greatest(n_words, 1)), 4) AS score
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  val tokenCounts: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val fingerprint: String =
+    """SELECT doc_id,
+      |  list_aggregate(list_transform(range(1, greatest(length(text) - 6, 2)),
+      |    i -> md5(substr(text, CAST(i AS INT), 8))), 'min') AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val multimodal: String =
+    """WITH m AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |         sha256(text) AS sha
+      |  FROM documents
+      |)
+      |SELECT doc_id, 'text/plain' AS kind, n_bytes, sha,
+      |       n_bytes % 640 + 1 AS width,
+      |       (n_bytes * 7) % 480 + 1 AS height,
+      |       n_bytes % 16 + 1 AS n_frames
+      |FROM m ORDER BY doc_id""".stripMargin
+}

@@ -97,7 +97,35 @@ object SparkEntry {
       graft.checkpoint.CheckpointedBuild.run(Corpus.files(s, dir), out, nBuckets = 4)
       graft.checkpoint.CheckpointedBuild.load(s, out)
         .searchTopK(Seq("merge", "sort", "window"))
-    })
+    }),
+    // ---- training-data pipeline ops (documents / embeddings tables) ----
+    "q_dedup_exact" -> ((s, dir) =>
+      ops.Dedup.exact(Corpus.documents(s, dir))),
+    "q_minhash_sig" -> ((s, dir) =>
+      ops.Dedup.minhashSignatures(Corpus.documents(s, dir))
+        .withColumn("h", col("h").cast("long")).orderBy("doc_id", "h")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      ops.Dedup.minhashPairs(Corpus.documents(s, dir))),
+    "q_dedup_jaccard" -> ((s, dir) =>
+      ops.Dedup.ngramJaccardTop(Corpus.documents(s, dir))),
+    "q_dedup_simhash" -> ((s, dir) =>
+      ops.Dedup.simhash(Corpus.documents(s, dir))),
+    "q_ann_brute" -> ((s, dir) =>
+      ops.Similarity.annBruteForce(Corpus.embeddings(s, dir), 0)),
+    "q_ann_lsh" -> ((s, dir) =>
+      ops.Similarity.annLsh(Corpus.embeddings(s, dir), 0)),
+    "q_neardup_embed" -> ((s, dir) =>
+      ops.Similarity.nearDupPairs(Corpus.embeddings(s, dir))),
+    "q_langid" -> ((s, dir) =>
+      ops.TextAnalysis.langId(Corpus.documents(s, dir))),
+    "q_quality" -> ((s, dir) =>
+      ops.TextAnalysis.quality(Corpus.documents(s, dir))),
+    "q_tokcount" -> ((s, dir) =>
+      ops.TextAnalysis.tokenCounts(Corpus.documents(s, dir))),
+    "q_fingerprint" -> ((s, dir) =>
+      ops.TextAnalysis.fingerprint(Corpus.documents(s, dir))),
+    "q_multimodal" -> ((s, dir) =>
+      ops.Multimodal.features(Corpus.documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -159,7 +187,20 @@ object SparkEntry {
            |FROM termstats ORDER BY term""".stripMargin,
       "q_bm25_compressed" -> bm25(Seq("merge", "sort", "window"), Nil, None),
       "q_bm25_pruned" -> bm25(Seq("merge", "sort", "window"), Nil, None),
-      "q_bm25_checkpointed" -> bm25(Seq("merge", "sort", "window"), Nil, None)
+      "q_bm25_checkpointed" -> bm25(Seq("merge", "sort", "window"), Nil, None),
+      "q_dedup_exact" -> OpsOracles.dedupExact,
+      "q_minhash_sig" -> OpsOracles.minhashSig,
+      "q_dedup_minhash" -> OpsOracles.minhashPairs,
+      "q_dedup_jaccard" -> OpsOracles.ngramJaccard,
+      "q_dedup_simhash" -> OpsOracles.simhash,
+      "q_ann_brute" -> OpsOracles.annBrute,
+      "q_ann_lsh" -> OpsOracles.annLsh,
+      "q_neardup_embed" -> OpsOracles.nearDupEmbed,
+      "q_langid" -> OpsOracles.langId,
+      "q_quality" -> OpsOracles.quality,
+      "q_tokcount" -> OpsOracles.tokenCounts,
+      "q_fingerprint" -> OpsOracles.fingerprint,
+      "q_multimodal" -> OpsOracles.multimodal
     )
   }
 }

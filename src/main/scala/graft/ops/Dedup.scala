@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines, over the
+  * `documents(doc_id, text, lang, source, n_chars)` table.
+  *
+  * All hash families are built from md5 (identical in Spark and DuckDB), so
+  * every operator is bit-reproducible by the driver's oracle. Each stage is
+  * pure column expressions → whole-stage codegen, shuffles only at the
+  * documented groupBys/joins.
+  *
+  * Scale notes (100 TB posture):
+  *  - exact: one hash-shuffle on the content digest (never on raw content).
+  *  - MinHash/LSH: shingling+signatures are narrow; the only wide ops are
+  *    the (doc, band-bucket) groupBy and the bucket self-join, whose fanout
+  *    is bounded by bucket collision counts, not corpus size.
+  *  - n-gram Jaccard: candidate pairs come only from shared-shingle joins —
+  *    at scale you'd pre-filter to df(shingle) ≤ cap to bound Σ df²; the cap
+  *    is a parameter here.
+  */
+object Dedup {
+
+  /** Lowercased word array (shared with the "simple" analyzer). */
+  def wordsCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
+
+  private def withWords(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"),
+      wordsCol(col("text")).as("words"))
+
+  /** Exact dedup: hash-groupBy on the content digest; keeper = min doc_id. */
+  def exact(documents: DataFrame): DataFrame =
+    documents.groupBy(md5(col("text")).as("grp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      .orderBy("grp")
+
+  /** 3-word shingles, one row per (doc, position). */
+  def shingles(documents: DataFrame): DataFrame =
+    withWords(documents).select(col("doc_id"),
+      explode(expr(
+        """transform(IF(size(words) >= 3, sequence(1, size(words) - 2), array()),
+          |  i -> concat_ws(' ', words[i-1], words[i], words[i+1]))""".stripMargin
+      )).as("shingle"))
+
+  /** MinHash signatures: sig(doc, h) = min over distinct shingles of
+    * md5(h || '|' || shingle), h ∈ [0, nHashes). */
+  def minhashSignatures(documents: DataFrame, nHashes: Int = 16): DataFrame =
+    shingles(documents).distinct()
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(nHashes - 1))).as("h"))
+      .groupBy("doc_id", "h")
+      .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("shingle"))))
+        .as("sig"))
+
+  /** LSH banding: bucket(doc, band) = md5 of the band's h-ordered sigs. */
+  def lshBuckets(documents: DataFrame, nHashes: Int = 16,
+                 rowsPerBand: Int = 4): DataFrame =
+    minhashSignatures(documents, nHashes)
+      .groupBy(col("doc_id"), (col("h") / rowsPerBand).cast("int").as("band"))
+      .agg(md5(array_join(sort_array(collect_list(
+        concat(lpad(col("h").cast("string"), 2, "0"), lit(":"), col("sig")))),
+        "|")).as("bucket"))
+
+  /** MinHash+LSH candidate pairs: docs sharing any band bucket. */
+  def minhashPairs(documents: DataFrame, nHashes: Int = 16,
+                   rowsPerBand: Int = 4): DataFrame = {
+    val b = lshBuckets(documents, nHashes, rowsPerBand)
+    val l = b.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val r = b.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** n-gram Jaccard similarity: top-k most similar pairs among docs sharing
+    * at least one shingle. `maxDf` bounds join fanout at scale. */
+  def ngramJaccardTop(documents: DataFrame, k: Int = 20,
+                      maxDf: Long = Long.MaxValue): DataFrame = {
+    val dsh = shingles(documents).distinct()
+    val filtered =
+      if (maxDf == Long.MaxValue) dsh
+      else {
+        val rare = dsh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("shingle")
+        dsh.join(rare, Seq("shingle"), "left_semi")
+      }
+    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = filtered.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(filtered.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("sa") + col("sb") - col("inter")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(k)
+  }
+
+  /** SimHash (32-bit): bit j = sign of Σ_tokens tf · (parity of the j-th hex
+    * digit of md5(token) ? +1 : −1). Pure integer arithmetic → exact in both
+    * engines. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tf = withWords(documents)
+      .select(col("doc_id"), explode(col("words")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.select(col("doc_id"), col("term"), col("tf"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .withColumn("digit",
+        expr("instr('0123456789abcdef', substring(md5(term), j + 1, 1)) - 1"))
+      .withColumn("contrib",
+        col("tf") * when(col("digit") % 2 === 1, lit(1L)).otherwise(lit(-1L)))
+      .groupBy("doc_id", "j").agg(sum(col("contrib")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, j) AS BIGINT)"))
+        .otherwise(lit(0L))).as("simhash"))
+      .orderBy("doc_id")
+  }
+}

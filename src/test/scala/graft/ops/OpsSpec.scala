@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("exact dedup groups identical content, keeper = min doc_id") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
+      3L -> "other text here")
+    val got = Dedup.exact(d).collect()
+    assert(got.length === 2)
+    val dupGroup = got.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) === 1L)
+  }
+
+  test("minhash: identical docs collide in every band; jaccard = 1") {
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> same, 2L -> same, 3L -> "completely different words apart entirely unrelated stuff")
+    val pairs = Dedup.minhashPairs(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+    val j = Dedup.ngramJaccardTop(d, 5).collect()
+    assert(j.head.getLong(0) === 1L && j.head.getLong(1) === 2L)
+    assert(j.head.getDouble(2) === 1.0)
+  }
+
+  test("simhash: identical docs get identical hashes; hash is stable") {
+    val d = docs(1L -> "merge sort window", 2L -> "merge sort window",
+      3L -> "hash join scan")
+    val h = Dedup.simhash(d).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+    assert(h.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("ann brute force: query vector ranks itself first with cos 1") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f, -0.2f), 0),
+      (1L, Array(0.9f, 0.1f, 0.4f, -0.1f), 0),
+      (2L, Array(-1.0f, 0.2f, -0.5f, 0.2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    // pad to-dim-agnostic: dot/norm fold over whatever length arrays have
+    val got = Similarity.annBruteForce(e, 0, 3).collect()
+    assert(got.head.getLong(0) === 0L && got.head.getDouble(1) === 1.0)
+    assert(got(1).getLong(0) === 1L) // most similar neighbor
+    assert(got.last.getLong(0) === 2L)
+  }
+
+  test("lsh ann returns the query's bucket only, ranked by cosine") {
+    val e = Seq(
+      (0L, Array.fill(8)(1.0f) ++ Array.fill(4)(0.5f), 0),
+      (1L, Array.fill(8)(0.9f) ++ Array.fill(4)(0.4f), 0),
+      (2L, Array.fill(8)(-1.0f) ++ Array.fill(4)(0.5f), 1) // different bucket
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.annLsh(e, 0, 10).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L, 1L))
+  }
+
+  test("langid picks profile with most marker hits, und when none") {
+    val d = docs(1L -> "the fast and small thing", 2L -> "el que la los y",
+      3L -> "zzz qqq www")
+    val got = TextAnalysis.langId(d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "es")
+    assert(got(3L) === "und")
+  }
+
+  test("quality / token counts / fingerprint are deterministic and sane") {
+    val d = docs(1L -> "the alpha beta", 2L -> "x")
+    val q = TextAnalysis.quality(d).collect()
+    assert(q.forall(r => r.getDouble(3) >= 0 && r.getDouble(4) >= 0))
+    val t = TextAnalysis.tokenCounts(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(t(1L) === ((3L, 3L)))
+    val f1 = TextAnalysis.fingerprint(d).collect().map(r => r.getString(1))
+    val f2 = TextAnalysis.fingerprint(d).collect().map(r => r.getString(1))
+    assert(f1.toSeq === f2.toSeq)
+  }
+
+  test("multimodal: mapPartitions stub equals column-derived metadata") {
+    val d = docs(1L -> "some payload text", 2L -> "another one")
+    val viaDs = Multimodal.features(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val viaCols = d.select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n"))
+      .select(col("doc_id"), col("n"), (col("n") % 640 + 1).as("w"),
+        ((col("n") * 7) % 480 + 1).as("h"), (col("n") % 16 + 1).as("f"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(viaDs.toSeq === viaCols.toSeq)
+  }
+}
