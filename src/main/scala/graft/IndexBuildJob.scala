@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.checkpoint.CheckpointedBuild
+
+/** spark-submit entry point for the index build (north rule: "runs via
+  * spark-submit ... at N and 4N executors").
+  *
+  * Usage: IndexBuildJob <sfDir> <outDir> <targetFiles> <parallelism> [warmupFiles]
+  *
+  * With warmupFiles > 0, an un-timed build of that many files runs first in
+  * the same JVM (JIT warm-up) so the timed measurement is steady-state —
+  * Bench forks one JVM per parallelism level with the identical protocol.
+  * SPARK_GRAFT_DEBUG=1 prints per-stage wall/CPU/GC telemetry.
+  */
+object IndexBuildJob {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, targetStr, parStr) = args.take(4)
+    val warmupFiles = if (args.length > 4) args(4).toLong else 0L
+    val target = targetStr.toLong
+    // parallelism spec: "N" → local[N] (threads) or "ExC" (e.g. "8x4") →
+    // local-cluster[E,C,mem]: E separate executor JVMs × C cores — the
+    // honest sandbox proxy for an E-executor cluster.
+    val (par, builder) = parStr.split("x") match {
+      case Array(e, c) =>
+        val execs = e.toInt; val cores = c.toInt
+        val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "6144").toInt
+        val b = GraftSession
+          .builder(s"graft-index-build-${execs}x$cores", execs * cores)
+          .master(s"local-cluster[$execs,$cores,$memMb]")
+          .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+          .config("spark.executor.memory", s"${memMb}m")
+        (execs * cores, b)
+      case _ =>
+        (parStr.toInt, GraftSession.builder(s"graft-index-build-$parStr", parStr.toInt))
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_DEBUG").contains("1"))
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val m = i.taskMetrics
+          println(f"[stage ${i.stageId}%3d] ${i.name.take(60)}%-60s tasks=${i.numTasks}%4d " +
+            f"wall=${(i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3}%7.2fs " +
+            f"cpu=${m.executorCpuTime / 1e9}%8.2fs run=${m.executorRunTime / 1e3}%8.2fs " +
+            f"gc=${m.jvmGCTime / 1e3}%6.2fs shW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB")
+        }
+      })
+
+    def corpusOf(targetFiles: Long) = {
+      val docs = corpus.Corpus.documents(spark, sfDir)
+      val n = docs.count()
+      val r = math.max(1L, targetFiles / n)
+      val f = docs
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          explode(sequence(lit(0L), lit(r - 1))).as("rep"))
+        .select((col("doc_id") * r + col("rep")).as("doc_id"),
+          concat(lit("org"), (col("doc_id") % 10).cast("string"), lit("/"), col("source")).as("repo"),
+          concat(lit("src/doc_"), col("doc_id").cast("string")).as("path"),
+          md5(concat(lit("commit"), col("doc_id").cast("string"))).as("commit"),
+          col("lang"),
+          array_join(array_repeat(col("text"),
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "8").toInt), " ")
+            .as("content"))
+        .withColumn("sha", sha2(col("content"), 256))
+        .repartition(128, col("doc_id"))
+        .persist()
+      f.count()
+      (f, n * r)
+    }
+
+    if (warmupFiles > 0) {
+      val (wf, _) = corpusOf(warmupFiles)
+      CheckpointedBuild.run(wf, s"${outDir}_warm", nBuckets = 4, saltBuckets = 32)
+      wf.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"${outDir}_warm"))
+    }
+    val (files, nFiles) = corpusOf(target)
+    val t0 = System.nanoTime()
+    CheckpointedBuild.run(files, outDir, nBuckets = 4, saltBuckets = 32)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"build_sec": $sec%.3f, "files": $nFiles, "files_per_sec": ${nFiles / sec}%.1f, "parallelism": $par}""")
+    spark.stop()
+  }
+}

@@ -93,7 +93,7 @@ object SparkEntry {
     // S7 checkpointed build + resume: full bucketed pipeline with lineage
     // manifests, then query the published index
     "q_bm25_checkpointed" -> ((s, dir) => {
-      val out = s"/tmp/graft_ckpt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val out = s"/tmp/graft_ckpt_v2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       graft.checkpoint.CheckpointedBuild.run(Corpus.files(s, dir), out, nBuckets = 4)
       graft.checkpoint.CheckpointedBuild.load(s, out)
         .searchTopK(Seq("merge", "sort", "window"))

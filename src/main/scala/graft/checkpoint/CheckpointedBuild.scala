@@ -32,7 +32,8 @@ object CheckpointedBuild {
 
   final case class BucketManifest(partition_id: Int, snapshot_id: String,
                                   rows: Long, postings: Long, bytes: Long,
-                                  sha_ok: Long, status: String)
+                                  sha_ok: Long, status: String,
+                                  tokens: Long = 0L, docsTok: Long = 0L)
 
   final case class BuildStats(nDocs: Long, avgdl: Double, buckets: Int)
 
@@ -47,7 +48,8 @@ object CheckpointedBuild {
     val json =
       s"""{"partition_id": ${m.partition_id}, "snapshot_id": "${m.snapshot_id}",
          | "rows": ${m.rows}, "postings": ${m.postings}, "bytes": ${m.bytes},
-         | "sha_ok": ${m.sha_ok}, "status": "${m.status}"}""".stripMargin
+         | "sha_ok": ${m.sha_ok}, "tokens": ${m.tokens}, "docs_tok": ${m.docsTok},
+         | "status": "${m.status}"}""".stripMargin
     val tmp = Paths.get(s"$outDir/manifest/.bucket-${m.partition_id}.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, manifestPath(outDir, m.partition_id),
@@ -62,10 +64,12 @@ object CheckpointedBuild {
       .filter(_.getFileName.toString.endsWith(".json")).toSeq.sortBy(_.toString)
       .map { p =>
         val s = Files.readString(p)
-        def l(k: String) = s"""\"$k\":\\s*(\\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+        def l(k: String) = s"""\"$k\":\\s*(\\d+)""".r.findFirstMatchIn(s)
+          .map(_.group(1).toLong).getOrElse(0L)
         def str(k: String) = s"""\"$k\":\\s*\"([^\"]*)\"""".r.findFirstMatchIn(s).get.group(1)
         BucketManifest(l("partition_id").toInt, str("snapshot_id"), l("rows"),
-          l("postings"), l("bytes"), l("sha_ok"), str("status"))
+          l("postings"), l("bytes"), l("sha_ok"), str("status"),
+          l("tokens"), l("docs_tok"))
       }
   }
 
@@ -98,47 +102,53 @@ object CheckpointedBuild {
           count(lit(1)).as("rows"),
           sum(when(sha2(col("content"), 256) === col("sha"), 1L).otherwise(0L)).as("sha_ok"),
           bit_xor(xxhash64(col("doc_id"), col("sha"))).as("snap"))
+        // ONE job per bucket: the tf groupBy ends in an Exchange that feeds
+        // both docstats and the postings join, so Spark's ReusedExchange
+        // computes it once; docstats is never materialized to disk (len
+        // rides inside the postings; avgdl comes from the observed sums).
+        val tfObs = Observation(s"tf-$b")
         val tfb = Stats.tf(observed, analyzer)
+          .observe(tfObs, count(lit(1)).as("postings"))
+        val dsObs = Observation(s"ds-$b")
         val dsb = Stats.docstats(tfb)
+          .observe(dsObs, count(lit(1)).as("docs_tok"),
+            sum(col("len")).as("tokens"))
         val segObs = Observation(s"seg-$b")
         val seg = InvertedIndex
           .segments(tfb, dsb, nDocs = math.max(1L, width), saltBuckets)
           .observe(segObs, count(lit(1)).as("groups"),
             sum(length(col("seg"))).as("bytes"))
-        dsb.write.mode("overwrite").parquet(s"$outDir/docstats/bucket=$b")
         seg.write.mode("overwrite").parquet(s"$outDir/segments/bucket=$b")
         val m = obs.get
         val sm = segObs.get
+        val dm = dsObs.get
         val rows = m("rows").asInstanceOf[Long]
         val shaOk = if (rows == 0) 0L else m("sha_ok").asInstanceOf[Long]
         require(shaOk == rows, s"sha256 invariant violated in bucket $b: $shaOk/$rows")
-        val nPostings = spark.read.parquet(s"$outDir/segments/bucket=$b")
-          .agg(coalesce(sum(udfDecodeCount(col("seg"))), lit(0L))).head().getLong(0)
+        val nPostings = tfObs.get("postings").asInstanceOf[Long]
         val snap = if (rows == 0) "empty"
           else java.lang.Long.toHexString(m("snap").asInstanceOf[Long])
         writeManifest(outDir, BucketManifest(b, snap, rows, nPostings,
           if (rows == 0) 0L else sm("bytes").asInstanceOf[Long],
-          shaOk, "complete"))
+          shaOk, "complete",
+          tokens = if (rows == 0) 0L else dm("tokens").asInstanceOf[Long],
+          docsTok = dm("docs_tok").asInstanceOf[Long]))
       }
       done += 1
     }
 
     // merge + publish (rerun unconditionally; cheap relative to bucket scans)
     val segAll = spark.read.parquet(s"$outDir/segments")
-    val dsAll = spark.read.parquet(s"$outDir/docstats")
-    val nDocs = readManifests(outDir).map(_.rows).sum
-    val avgdl = dsAll.agg(avg("len")).head().getDouble(0)
+    val ms = readManifests(outDir)
+    val nDocs = ms.map(_.rows).sum
+    val docsTok = math.max(1L, ms.map(_.docsTok).sum)
+    val avgdl = ms.map(_.tokens).sum.toDouble / docsTok
     val index = InvertedIndex.mergeSegments(segAll.select("term", "seg"), avgdl)
     InvertedIndex.write(index, s"$outDir/index")
-    dsAll.select("doc_id", "len").write.mode("overwrite")
-      .parquet(s"$outDir/docstats_merged")
     Files.writeString(Paths.get(s"$outDir/scalars.json"),
       s"""{"n_docs": $nDocs, "avgdl": $avgdl, "buckets": $nBuckets, "status": "published"}""")
     BuildStats(nDocs, avgdl, nBuckets)
   }
-
-  private val udfDecodeCount =
-    udf((seg: Array[Byte]) => graft.index.PostingCodec.decode(seg).length.toLong)
 
   /** Load a published checkpointed index as a query engine. */
   def load(spark: SparkSession, outDir: String): CompressedSearchEngine = {

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ASCII-only lowercase as a native codegen'd Catalyst `Expression`.
+  *
+  * Why not built-in `lower()`: Spark 4's collation-aware `Lower` routes
+  * through ICU (`CollationSupport.Lower.execBinaryICU`), whose shared
+  * case-mapping machinery serializes under many executor threads — thread
+  * dumps during the index build showed most worker samples inside it. The
+  * analyzer chain only distinguishes `[A-Za-z0-9]` (reference
+  * `Utils/Utils.java:14` strips everything else), so byte-level ASCII
+  * lowering is semantically sufficient, UTF-8-safe (multi-byte sequences
+  * have the high bit set and are untouched), contention-free, and
+  * whole-stage-codegen friendly.
+  */
+case class AsciiLower(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    AsciiLower.lower(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AsciiLower.lower($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiLower =
+    copy(child = newChild)
+}
+
+object AsciiLower {
+  /** Static helper invoked from generated code. */
+  def lower(s: UTF8String): UTF8String = {
+    val src = s.getBytes
+    var i = 0
+    var changed = false
+    while (i < src.length && !changed) {
+      val b = src(i)
+      changed = b >= 'A' && b <= 'Z'
+      i += 1
+    }
+    if (!changed) return s
+    val out = java.util.Arrays.copyOf(src, src.length)
+    i -= 1
+    while (i < out.length) {
+      val b = out(i)
+      if (b >= 'A' && b <= 'Z') out(i) = (b | 0x20).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** Byte-level ASCII tokenizer as a native codegen'd expression: emits the
+  * maximal `[A-Za-z0-9]+` runs of the input, lowercased — exactly
+  * `filter(split(ascii_lower(s), "[^a-z0-9]+"), _ != "")` but with ONE
+  * right-sized byte[] per token instead of java.util.regex + String churn.
+  * At 32 executor threads the regex/String path allocates faster than the
+  * collector can evacuate (observed 10-30× task-CPU inflation + 100s+ GC per
+  * stage); this keeps the tokenize stage allocation-minimal. Multi-byte
+  * UTF-8 sequences have the high bit set → treated as separators, same as
+  * the regex. */
+case class AsciiTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    AsciiTokens.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AsciiTokens.tokenize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiTokens =
+    copy(child = newChild)
+}
+
+object AsciiTokens {
+  @inline private def isAlnum(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+
+  /** Static helper invoked from generated code. */
+  def tokenize(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val out = new java.util.ArrayList[AnyRef](bytes.length / 6 + 4)
+    var i = 0
+    while (i < bytes.length) {
+      if (isAlnum(bytes(i))) {
+        val start = i
+        while (i < bytes.length && isAlnum(bytes(i))) i += 1
+        val tok = new Array[Byte](i - start)
+        var j = 0
+        while (j < tok.length) {
+          val b = bytes(start + j)
+          tok(j) = if (b >= 'A' && b <= 'Z') (b | 0x20).toByte else b
+          j += 1
+        }
+        out.add(UTF8String.fromBytes(tok))
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+}
+
+/** Session registration for graft's native expressions (public registry API —
+  * no private Spark internals). */
+object GraftFunctions {
+  val AsciiLowerName = "graft_ascii_lower"
+  val AsciiTokensName = "graft_tokens"
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      AsciiLowerName, exprs => AsciiLower(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      AsciiTokensName, exprs => AsciiTokens(exprs.head), "built-in")
+  }
+
+  /** `ascii_lower(c)` — caller must have [[register]]ed on the session that
+    * will analyze the plan. */
+  def asciiLower(c: Column): Column = call_function(AsciiLowerName, c)
+
+  /** `graft_tokens(c)`: lowercased `[a-z0-9]+` token array. */
+  def asciiTokens(c: Column): Column = call_function(AsciiTokensName, c)
+}

@@ -6,10 +6,6 @@ import org.apache.spark.sql.functions._
 import scala.collection.mutable.ArrayBuffer
 import PostingCodec.{BlockMeta, Posting}
 
-/** Segment-encoded posting run (stage-1 output): one sorted varbyte run per
-  * (term, salt-bucket). */
-final case class TfRow(doc_id: Long, tf: Int, len: Int)
-
 /** One bounded chunk of a term's final posting list. Chunks split a term's
   * postings every [[InvertedIndex.ChunkSize]] entries so a single row (and a
   * single decode task) stays bounded even for ubiquitous code tokens at
@@ -22,37 +18,8 @@ final case class IndexChunk(chunk_id: Int, first_doc_id: Long,
 
 final case class TermChunks(df: Long, chunks: Array[IndexChunk])
 
-/** Stage 1: (doc_id, tf, len) rows of one (term, salt) group → one sorted
-  * encoded run. Spark runs this as an ObjectHashAggregate with map-side
-  * partial aggregation — the "salted, skew-aware shuffle keyed by term" of
-  * the north rule: no single task ever materializes a hot term's full list
-  * during the wide stage.
-  *
-  * Replaces the reference's in-heap ConcurrentHashMap index build
-  * (`Indexer/TextIndexer.java:16, 50-94`) and per-(term,doc) Mongo upserts
-  * (`dbManager/dbManager.java:178-237`).
-  */
-final class SegmentAgg
-    extends Aggregator[TfRow, ArrayBuffer[TfRow], Array[Byte]] {
-  def zero: ArrayBuffer[TfRow] = ArrayBuffer.empty
-  def reduce(buf: ArrayBuffer[TfRow], row: TfRow): ArrayBuffer[TfRow] = { buf += row; buf }
-  def merge(a: ArrayBuffer[TfRow], b2: ArrayBuffer[TfRow]): ArrayBuffer[TfRow] = { a ++= b2; a }
-  def finish(buf: ArrayBuffer[TfRow]): Array[Byte] = {
-    val arr = buf.map(r => Posting(r.doc_id, r.tf, r.len)).toArray
-    java.util.Arrays.sort(arr, Ordering.by[Posting, Long](_.doc_id))
-    val out = new ArrayBuffer[Byte](arr.length * 3)
-    var prev = -1L
-    for (p <- arr) {
-      PostingCodec.writeVLong(out, p.doc_id - prev)
-      PostingCodec.writeVLong(out, p.tf.toLong)
-      PostingCodec.writeVLong(out, p.len.toLong)
-      prev = p.doc_id
-    }
-    out.toArray
-  }
-  def bufferEncoder: Encoder[ArrayBuffer[TfRow]] = Encoders.kryo[ArrayBuffer[TfRow]]
-  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-}
+/** Stage-1 output row: one sorted encoded run per (term, salt). */
+final case class SegmentRow(term: String, salt: Long, seg: Array[Byte])
 
 /** Stage 2: merge one term's segment runs (sorted, docId-range-disjoint by
   * construction → concatenation fast path) into block-max chunks. */
@@ -100,14 +67,60 @@ object InvertedIndex {
     mergeSegments(segments(tf, docstats, nDocs, saltBuckets), avgdl)
   }
 
-  /** Stage 1: salted partial posting runs (term, salt, seg). */
+  /** Stage 1: salted partial posting runs (term, salt, seg).
+    *
+    * Implemented as ONE Tungsten shuffle keyed by (term, salt) followed by an
+    * in-partition sort and a streaming, zero-buffering varbyte encoder in
+    * `mapPartitions` — the "salted, skew-aware shuffle keyed by term" of the
+    * north rule. Sort-based (spillable, off-heap UnsafeRow) rather than an
+    * object hash aggregate: no per-row JVM objects, so the stage scales with
+    * cores instead of GC. Salt = doc_id range bucket, so runs are
+    * docId-disjoint and stage 2 merges by concatenation.
+    *
+    * Replaces the reference's in-heap ConcurrentHashMap index build
+    * (`Indexer/TextIndexer.java:16, 50-94`) and per-(term,doc) Mongo upserts
+    * (`dbManager/dbManager.java:178-237`).
+    */
   def segments(tf: DataFrame, docstats: DataFrame, nDocs: Long,
                saltBuckets: Int = 32): DataFrame = {
-    val segUdaf = udaf(new SegmentAgg)
+    val spark = tf.sparkSession
+    import spark.implicits._
     val bucketWidth = math.max(1L, nDocs / saltBuckets)
     tf.join(docstats, Seq("doc_id"))
-      .groupBy(col("term"), (col("doc_id") / bucketWidth).cast("long").as("salt"))
-      .agg(segUdaf(col("doc_id"), col("tf"), col("len")).as("seg"))
+      .select(col("term"), (col("doc_id") / bucketWidth).cast("long").as("salt"),
+        col("doc_id"), col("tf").cast("int").as("tf"), col("len").cast("int").as("len"))
+      .repartition(col("term"), col("salt"))
+      .sortWithinPartitions("term", "salt", "doc_id")
+      .as[(String, Long, Long, Int, Int)]
+      .mapPartitions { rows =>
+        new Iterator[SegmentRow] {
+          private var pending: Option[(String, Long, Long, Int, Int)] = None
+          private val buf = new PostingCodec.ByteBuf(1 << 12)
+          def hasNext: Boolean = pending.isDefined || rows.hasNext
+          def next(): SegmentRow = {
+            var cur = pending.getOrElse(rows.next())
+            pending = None
+            val curTerm = cur._1
+            val curSalt = cur._2
+            buf.reset()
+            var prev = -1L
+            var done = false
+            while (!done) {
+              buf.writeVLong(cur._3 - prev)
+              buf.writeVLong(cur._4.toLong)
+              buf.writeVLong(cur._5.toLong)
+              prev = cur._3
+              if (rows.hasNext) {
+                val n = rows.next()
+                if (n._1 == curTerm && n._2 == curSalt) cur = n
+                else { pending = Some(n); done = true }
+              } else done = true
+            }
+            SegmentRow(curTerm, curSalt, buf.toArray)
+          }
+        }
+      }
+      .toDF("term", "salt", "seg")
   }
 
   /** Stage 2: merge (term, salt, seg) runs into the final chunked index. */

@@ -28,6 +28,29 @@ object PostingCodec {
   def weight(tf: Int, len: Int, avgdl: Double, k1: Double, b: Double): Double =
     (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * len / avgdl))
 
+  /** Growable primitive byte buffer (no boxing — the encode path is hot). */
+  final class ByteBuf(initialCapacity: Int = 64) {
+    private var buf = new Array[Byte](math.max(initialCapacity, 16))
+    private var n = 0
+    def length: Int = n
+    def append(b: Byte): Unit = {
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      buf(n) = b
+      n += 1
+    }
+    def writeVLong(v0: Long): Unit = {
+      var v = v0
+      require(v >= 0, s"varint must be non-negative: $v")
+      while ((v & ~0x7fL) != 0L) {
+        append(((v & 0x7f) | 0x80).toByte)
+        v >>>= 7
+      }
+      append(v.toByte)
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, n)
+    def reset(): Unit = n = 0
+  }
+
   // ---- varbyte (LEB128, unsigned) ----
   def writeVLong(out: ArrayBuffer[Byte], v0: Long): Unit = {
     var v = v0
@@ -60,7 +83,7 @@ object PostingCodec {
   /** Encode sorted, distinct postings into (bytes, blockMeta). */
   def encode(postings: Array[Posting], avgdl: Double,
              k1: Double, b: Double): (Array[Byte], Array[BlockMeta]) = {
-    val out = new ArrayBuffer[Byte](postings.length * 3)
+    val out = new ByteBuf(postings.length * 3)
     val blocks = new ArrayBuffer[BlockMeta]
     var prev = -1L
     var i = 0
@@ -73,9 +96,9 @@ object PostingCodec {
       while (i < end) {
         val p = postings(i)
         require(p.doc_id > prev, s"postings must be sorted distinct: ${p.doc_id} after $prev")
-        writeVLong(out, p.doc_id - prev)
-        writeVLong(out, p.tf.toLong)
-        writeVLong(out, p.len.toLong)
+        out.writeVLong(p.doc_id - prev)
+        out.writeVLong(p.tf.toLong)
+        out.writeVLong(p.len.toLong)
         prev = p.doc_id
         lastDoc = p.doc_id
         if (p.tf > maxTf) maxTf = p.tf

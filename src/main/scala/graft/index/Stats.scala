@@ -24,9 +24,10 @@ object Stats {
   def tokens(files: DataFrame, analyzer: String = "simple"): DataFrame =
     analyzer match {
       case "simple" =>
+        graft.functions.GraftFunctions.register(files.sparkSession)
         files.select(col("doc_id"),
-          explode(split(lower(col("content")), "[^a-z0-9]+")).as("term"))
-          .filter(col("term") =!= "")
+          explode(graft.functions.GraftFunctions.asciiTokens(col("content")))
+            .as("term"))
       case "code" =>
         val tokUdf = udf((c: String) => Analyzer.codeTokens(c))
         files.select(col("doc_id"), explode(tokUdf(col("content"))).as("term"))

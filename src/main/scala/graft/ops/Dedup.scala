@@ -22,13 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Lowercased word array (shared with the "simple" analyzer). */
+  /** Lowercased word array (shared with the "simple" analyzer; ascii_lower —
+    * see graft.functions.AsciiLower — requires GraftFunctions.register on
+    * the session first). */
   def wordsCol(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
+    graft.functions.GraftFunctions.asciiTokens(text)
 
-  private def withWords(documents: DataFrame): DataFrame =
+  private def withWords(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(col("doc_id"), col("text"),
       wordsCol(col("text")).as("words"))
+  }
 
   /** Exact dedup: hash-groupBy on the content digest; keeper = min doc_id. */
   def exact(documents: DataFrame): DataFrame =

@@ -29,6 +29,7 @@ object TextAnalysis {
   /** (doc_id, lang_pred, score): argmax of marker hits; ties prefer the
     * lexicographically smallest language; no hits → 'und'. */
   def langId(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val scored = documents.select(col("doc_id") +:
       langProfiles.map { case (l, set) => countIn(set).cast("long").as(s"s_$l") }: _*)
     val best = greatest(langProfiles.map { case (l, _) => col(s"s_$l") }: _*)
@@ -41,7 +42,8 @@ object TextAnalysis {
 
   /** Quality features + score: n_words, n_chars, stopword ratio, and
     * score = min(1, n_words/100) · (1 − stop_ratio), rounded. */
-  def quality(documents: DataFrame, stopset: Seq[String] = Seq("the", "a", "and", "of")): DataFrame =
+  def quality(documents: DataFrame, stopset: Seq[String] = Seq("the", "a", "and", "of")): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(col("doc_id"),
         size(words).cast("long").as("n_words"),
         length(col("text")).cast("long").as("n_chars"),
@@ -51,15 +53,19 @@ object TextAnalysis {
         round(least(col("n_words") / 100.0, lit(1.0)) *
           (lit(1.0) - col("n_stop") / greatest(col("n_words"), lit(1L))), 4).as("score"))
       .orderBy("doc_id")
+  }
 
   /** Whitespace token count + BPE-ish regex token count. */
-  def tokenCounts(documents: DataFrame): DataFrame =
+  def tokenCounts(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(col("doc_id"),
         size(filter(split(col("text"), "\\s+"), w => w =!= "")).cast("long")
           .as("ws_tokens"),
-        regexp_count(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"))
+        regexp_count(graft.functions.GraftFunctions.asciiLower(col("text")),
+          lit("[a-z0-9]+|[^a-z0-9\\s]"))
           .cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
+  }
 
   /** Rolling 8-char-window fingerprint: lexicographic min of the md5 of
     * every 8-gram (winnowing with window = whole doc). */

@@ -53,6 +53,53 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
   def searchTopK(terms: Seq[String], k: Int = 10): DataFrame =
     scoreDecoded(decoded(Some(terms)), k)
 
+  /** E5 conjunctive candidates from the index alone (docs containing ALL
+    * terms), mirroring SearchEngine.candidatesAll over decoded postings. */
+  def candidatesAll(terms: Seq[String]): DataFrame =
+    if (terms.isEmpty) index.sparkSession.range(0).select(col("id").as("doc_id"))
+    else decoded(Some(terms)).groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === terms.length).select("doc_id")
+
+  /** P4 phrase candidates: conjunctive tokens + raw substring filter over
+    * the corpus (`dbManager.java:324-341` semantics). */
+  def phraseCandidates(phrase: String, files: DataFrame,
+                       analyzer: String = "simple"): DataFrame = {
+    graft.functions.GraftFunctions.register(files.sparkSession)
+    val cand = candidatesAll(graft.analyze.Analyzer.queryTokens(analyzer, phrase).distinct)
+    files.join(cand, Seq("doc_id"), "left_semi")
+      .filter(contains(graft.functions.GraftFunctions.asciiLower(col("content")),
+        lit(phrase.toLowerCase)))
+      .select("doc_id")
+  }
+
+  private def scoreCand(terms: Seq[String], cand: Option[DataFrame], k: Int): DataFrame = {
+    val base = decoded(Some(terms))
+    val rows = cand.fold(base)(c => base.join(c, Seq("doc_id"), "left_semi"))
+    scoreDecoded(rows, k)
+  }
+
+  /** Full query lifecycle over the persisted index + corpus (serving path):
+    * parse → candidates → BM25 → top-k, mirroring SearchEngine.search. */
+  def search(raw: String, files: DataFrame, k: Int = 10,
+             analyzer: String = "simple"): DataFrame = {
+    def toks(s: String) = graft.analyze.Analyzer.queryTokens(analyzer, s).distinct
+    QueryParser.parse(raw) match {
+      case Tokens(text) => scoreCand(toks(text), None, k)
+      case Phrase(p)    => scoreCand(toks(p), Some(phraseCandidates(p, files, analyzer)), k)
+      case Bool(op, p1, p2) =>
+        val c1 = phraseCandidates(p1, files, analyzer)
+        val c2 = phraseCandidates(p2, files, analyzer)
+        val cand = op match {
+          case "and" => c1.intersect(c2)
+          case "or"  => c1.union(c2).distinct()
+          case "not" => c1.except(c2)
+        }
+        val terms = if (op == "not") toks(p1) else (toks(p1) ++ toks(p2)).distinct
+        scoreCand(terms, Some(cand), k)
+    }
+  }
+
   /** MaxScore-pruned top-k — rank-identical to [[searchTopK]]. */
   def searchPruned(terms: Seq[String], k: Int = 10): DataFrame = {
     if (terms.isEmpty) return searchTopK(terms, k)

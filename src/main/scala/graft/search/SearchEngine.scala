@@ -45,9 +45,11 @@ final class SearchEngine(val t: IndexTables, val analyzer: String = "simple") {
   /** P4: phrase filter — conjunctive candidates narrowed by case-insensitive
     * raw-substring containment of the phrase in content. */
   def phraseCandidates(phrase: String): DataFrame = {
+    graft.functions.GraftFunctions.register(t.files.sparkSession)
     val cand = candidatesAll(toks(phrase))
     t.files.join(cand, Seq("doc_id"), "left_semi")
-      .filter(contains(lower(col("content")), lit(phrase.toLowerCase)))
+      .filter(contains(graft.functions.GraftFunctions.asciiLower(col("content")),
+        lit(phrase.toLowerCase)))
       .select("doc_id")
   }
 
