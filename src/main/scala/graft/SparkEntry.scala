@@ -125,7 +125,35 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       ops.TextAnalysis.fingerprint(Corpus.documents(s, dir))),
     "q_multimodal" -> ((s, dir) =>
-      ops.Multimodal.features(Corpus.documents(s, dir)))
+      ops.Multimodal.features(Corpus.documents(s, dir))),
+    // Structured Streaming: windowed event-time agg == batch oracle
+    "q_stream_window" -> ((s, dir) =>
+      streaming.StreamingOps.windowedEventCounts(s, dir)),
+    // O3/P5/A11: query-log prefix suggestions
+    "q_suggestions" -> ((s, dir) =>
+      search.Extras.suggest(
+        search.Extras.queryLog(tables(s, dir).termstats), "s")),
+    // F13: snippets for the flagship query's result page
+    "q_snippets" -> ((s, dir) => {
+      val e = eng(s, dir)
+      search.Extras.withSnippets(e.search("merge sort window"),
+        e.t.files, "merge")
+    }),
+    // F12: phrase occurrence counts over phrase candidates
+    "q_phrase_count" -> ((s, dir) => {
+      val e = eng(s, dir)
+      search.Extras.phraseCounts(e.phraseCandidates("hash join"),
+        e.t.files, "hash join")
+    }),
+    // code-aware analyzer (identifier/camelCase/snake subtokens + Porter):
+    // not SQL-expressible → driver records rows-only checks; rank parity is
+    // asserted against the in-repo Scala oracle in SearchSpec
+    "q_tf_code" -> ((s, dir) =>
+      IndexTables.build(Corpus.files(s, dir), "code").tf
+        .orderBy("doc_id", "term")),
+    "q_bm25_code" -> ((s, dir) =>
+      new SearchEngine(IndexTables.build(Corpus.files(s, dir), "code"), "code")
+        .search("merge sort window"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -200,7 +228,37 @@ object SparkEntry {
       "q_quality" -> OpsOracles.quality,
       "q_tokcount" -> OpsOracles.tokenCounts,
       "q_fingerprint" -> OpsOracles.fingerprint,
-      "q_multimodal" -> OpsOracles.multimodal
+      "q_multimodal" -> OpsOracles.multimodal,
+      "q_stream_window" ->
+        """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
+          |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+      "q_suggestions" ->
+        s"""${b.base}
+           |SELECT term AS query, df AS cnt FROM termstats
+           |WHERE term LIKE 's%'
+           |ORDER BY cnt DESC, query ASC LIMIT 10""".stripMargin,
+      "q_snippets" -> {
+        val inner = b.bm25Select(Seq("merge", "sort", "window"), None)
+        val Array(scoredCte, finalSel) = inner.split("\\n(?=SELECT doc_id)")
+        s"""${b.base},
+           |$scoredCte,
+           |topk AS (
+           |$finalSel
+           |)
+           |SELECT t.doc_id, t.score,
+           |  substr(f.content, greatest(strpos(lower(f.content), 'merge'), 1), 150) AS snippet
+           |FROM topk t JOIN files f USING (doc_id)
+           |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
+      },
+      "q_phrase_count" ->
+        s"""${b.base},
+           |${b.phraseCte("phr", Seq("hash", "join"), "hash join")}
+           |SELECT f.doc_id,
+           |  CAST((length(f.content) -
+           |        length(replace(lower(f.content), 'hash join', ''))) / 9 AS BIGINT) AS n_occ
+           |FROM files f JOIN phr USING (doc_id)
+           |ORDER BY f.doc_id""".stripMargin
     )
   }
 }
