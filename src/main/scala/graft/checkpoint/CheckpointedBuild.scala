@@ -88,11 +88,7 @@ object CheckpointedBuild {
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (maxId - minId + nBuckets) / nBuckets)
 
-    var done = 0
-    for (b <- 0 until nBuckets) {
-      if (!isComplete(outDir, b)) {
-        if (done >= failAfterBuckets)
-          throw new InjectedFailure(s"injected failure before bucket $b")
+    def buildBucket(b: Int): Unit = {
         val lo = minId + b * width
         val hi = lo + width // exclusive
         val slice = files.filter(col("doc_id") >= lo && col("doc_id") < hi)
@@ -133,8 +129,37 @@ object CheckpointedBuild {
           shaOk, "complete",
           tokens = if (rows == 0) 0L else dm("tokens").asInstanceOf[Long],
           docsTok = dm("docs_tok").asInstanceOf[Long]))
+    }
+
+    val todo = (0 until nBuckets).filterNot(isComplete(outDir, _))
+    if (failAfterBuckets != Int.MaxValue) {
+      // deterministic sequential path for fault-injection tests
+      var done = 0
+      for (b <- todo) {
+        if (done >= failAfterBuckets)
+          throw new InjectedFailure(s"injected failure before bucket $b")
+        buildBucket(b)
+        done += 1
       }
-      done += 1
+    } else if (todo.nonEmpty) {
+      // Buckets are independent jobs (own segment dir + manifest), so run a
+      // few concurrently: Spark backfills idle task slots of one bucket's
+      // reduce/tail stages with the next bucket's scan — without this, every
+      // bucket boundary is a cluster-wide barrier (on a 1000-executor
+      // cluster that idle tail is the dominant scaling loss).
+      // Default: sequential below ~16 cores (bucket stages already saturate
+      // a narrow cluster; concurrent scans just add memory pressure), two
+      // in-flight buckets per additional 16 cores beyond that.
+      val defConc = math.max(1, spark.sparkContext.defaultParallelism / 16)
+      val conc = math.max(1, math.min(todo.size,
+        sys.env.get("SPARK_GRAFT_BUCKET_CONC").map(_.toInt).getOrElse(defConc)))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(Future.sequence(todo.map(b => Future(buildBucket(b)))), Duration.Inf)
+      } finally pool.shutdown()
     }
 
     // merge + publish (rerun unconditionally; cheap relative to bucket scans)
