@@ -191,7 +191,7 @@ object Bench {
     val perQuery = latencies.groupBy(_._1).view
       .mapValues(v => median(v.map(_._2))).toMap
     val (_, tPruned) = timed {
-      eng.searchPruned(Seq("merge", "sort", "window"), 10).collect()
+      eng.searchPruned(Seq("merge", "sort", "window"), 10, force = true).collect()
     }
     val tokenNames = tokenQueries.map(_._1).toSet
     val p50 = median(latencies.collect { case (n, t) if tokenNames(n) => t })

@@ -89,7 +89,7 @@ object SparkEntry {
       ceng(s, dir).searchTopK(Seq("merge", "sort", "window"))),
     // MaxScore/block-range pruned top-k — rank-identical to exhaustive
     "q_bm25_pruned" -> ((s, dir) =>
-      ceng(s, dir).searchPruned(Seq("merge", "sort", "window"))),
+      ceng(s, dir).searchPruned(Seq("merge", "sort", "window"), 10, force = true)),
     // S7 checkpointed build + resume: full bucketed pipeline with lineage
     // manifests, then query the published index
     "q_bm25_checkpointed" -> ((s, dir) => {

@@ -100,43 +100,80 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
     }
   }
 
-  /** MaxScore-pruned top-k — rank-identical to [[searchTopK]]. */
-  def searchPruned(terms: Seq[String], k: Int = 10): DataFrame = {
+  /** MaxScore-pruned top-k — rank-identical to [[searchTopK]].
+    *
+    * Three Spark jobs total (meta collect, θ pass, pruned rescore): the
+    * candidate docId range comes from the essential terms' chunk metadata
+    * gathered in the first collect (a superset of the exact candidate
+    * min/max), not a separate action, and the query terms' index rows are
+    * persisted across the passes so the index parquet is scanned once.
+    *
+    * Adaptive gate: below [[CompressedSearchEngine.PruneGateDocs]] docs the
+    * decode work a prune could save is smaller than the two extra adaptive
+    * round-trips it costs (measured: 3-job pruning loses to the single
+    * exhaustive job up to at least 10^6 docs), so small corpora take the
+    * exhaustive path unless `force` is set (tests/bench exercise the
+    * machinery with force=true). */
+  def searchPruned(terms: Seq[String], k: Int = 10,
+                   force: Boolean = false): DataFrame = {
     if (terms.isEmpty) return searchTopK(terms, k)
-    // (1) per-term metadata: df + global max block weight (tiny collect).
-    val meta = rowsFor(terms).groupBy("term")
-      .agg(first(col("df")).as("df"), max(col("max_weight")).as("mw"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-    if (meta.isEmpty) return searchTopK(terms, k)
-    val ub = meta.map { case (t, df, mw) =>
-      t -> BM25.idfValue(nDocs, df) * mw
-    }.toMap
-    // (2) θ: k-th exact score of the rarest term (a lower bound on the final
-    // k-th score), minus a safety margin for the display rounding.
-    val rarest = meta.minBy(_._2)._1
-    val kth = searchTopK(Seq(rarest), k).collect()
-    val theta = if (kth.length < k) 0.0 else kth.last.getDouble(1) - 1e-3
-    // (3) essential terms: ascending by ub, drop the maximal prefix whose
-    // cumulative ub stays strictly below θ.
-    val asc = meta.map(_._1).sortBy(ub)
-    val cum = asc.scanLeft(0.0)((s, t) => s + ub(t)).tail
-    val essential = asc.zip(cum).collect { case (t, c) if c >= theta => t }
-    val essTerms = if (essential.isEmpty) Seq(asc.last) else essential.toSeq
-    // (4) candidates: docs present in at least one essential term.
-    val cand = decoded(Some(essTerms)).select("doc_id").distinct()
-    val bounds = cand.agg(min("doc_id"), max("doc_id")).head()
-    if (bounds.isNullAt(0)) return searchTopK(terms, k)
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    // (5) rescore candidates over all terms, skipping chunks outside the
-    // candidate docId range (block-range skip via chunk metadata).
-    val pruned = rowsFor(terms)
-      .filter(col("last_doc_id") >= lo && col("first_doc_id") <= hi)
-    val decodedRows = pruned.select(col("term"), col("df"),
+    if (!force && nDocs < CompressedSearchEngine.PruneGateDocs)
+      return searchTopK(terms, k)
+    val rows = rowsFor(terms).persist()
+    try {
+      // (1) per-term metadata: df, max block weight, chunk docId range.
+      val meta = rows.groupBy("term")
+        .agg(first(col("df")).as("df"), max(col("max_weight")).as("mw"),
+          min(col("first_doc_id")).as("lo"), max(col("last_doc_id")).as("hi"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4)))
+      if (meta.isEmpty) return searchTopK(terms, k)
+      val ub = meta.map { case (t, df, mw, _, _) =>
+        t -> (BM25.idfValue(nDocs, df) * mw)
+      }.toMap
+      // (2) θ: k-th exact score of the rarest term (a lower bound on the
+      // final k-th score), minus a safety margin for the display rounding.
+      val rarest = meta.minBy(_._2)._1
+      val kth = scoreDecoded(decodedFrom(
+        rows.filter(col("term") === rarest)), k).collect()
+      val theta = if (kth.length < k) 0.0 else kth.last.getDouble(1) - 1e-3
+      // (3) essential terms: ascending by ub, drop the maximal prefix whose
+      // cumulative ub stays strictly below θ — docs appearing ONLY in that
+      // prefix provably cannot reach the top-k.
+      val asc = meta.map(_._1).sortBy(ub)
+      val cum = asc.scanLeft(0.0)((s, t) => s + ub(t)).tail
+      val essential = asc.zip(cum).collect { case (t, c) if c >= theta => t }
+      val essTerms = if (essential.isEmpty) Seq(asc.last) else essential.toSeq
+      if (essTerms.length == terms.distinct.length)
+        return scoreDecoded(decodedFrom(rows), k) // nothing pruned
+      val essSet = essTerms.toSet
+      // candidate docId range from essential chunk metadata (no extra job)
+      val lo = meta.collect { case (t, _, _, l, _) if essSet(t) => l }.min
+      val hi = meta.collect { case (t, _, _, _, h) if essSet(t) => h }.max
+      // (4) candidates: docs present in at least one essential term;
+      // rescore them over all terms, skipping chunks outside [lo, hi]
+      // (block-range skip via chunk metadata).
+      val cand = decodedFrom(rows.filter(col("term").isin(essTerms: _*)))
+        .select("doc_id").distinct()
+      val decodedRows = decodedFrom(
+          rows.filter(col("last_doc_id") >= lo && col("first_doc_id") <= hi))
+        .join(cand, Seq("doc_id"), "left_semi")
+      scoreDecoded(decodedRows, k)
+    } finally rows.unpersist()
+  }
+
+  /** (term, df, doc_id, tf, len) rows decoded from index chunk rows. */
+  private def decodedFrom(chunkRows: DataFrame): DataFrame =
+    chunkRows.select(col("term"), col("df"),
         explode(decodeUdf(col("postings"))).as("p"))
       .select(col("term"), col("df"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"), col("p.len").as("len"))
-      .join(cand, Seq("doc_id"), "left_semi")
-    scoreDecoded(decodedRows, k)
-  }
+}
+
+object CompressedSearchEngine {
+  /** Corpus size above which adaptive MaxScore pruning pays for its extra
+    * driver round-trips (see [[CompressedSearchEngine.searchPruned]]). */
+  val PruneGateDocs: Long =
+    sys.env.get("SPARK_GRAFT_PRUNE_GATE").map(_.toLong).getOrElse(10_000_000L)
 }

@@ -60,7 +60,7 @@ class CompressedIndexSpec extends SparkSpec {
       for (terms <- Seq(Seq("merge"), Seq("merge", "sort", "window"),
           Seq("dup", "batch"), Seq("rareterm", "spark"),
           Seq("hash", "join", "scan", "filter", "stream"))) {
-        val got = ce.searchPruned(terms, 10).collect()
+        val got = ce.searchPruned(terms, 10, force = true).collect()
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq
         val want = ce.searchTopK(terms, 10).collect()
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq
