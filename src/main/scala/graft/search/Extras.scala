@@ -37,8 +37,10 @@ object Extras {
       .orderBy(col("score").desc, col("doc_id").asc)
   }
 
+  private def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+
   private def substring_pos_snippet(term: String, width: Int) =
-    expr(s"substring(content, greatest(instr(graft_ascii_lower(content), '$term'), 1), $width)")
+    expr(s"substring(content, greatest(instr(graft_ascii_lower(content), ${sqlLit(term)}), 1), $width)")
 
   /** F12: occurrences of a phrase in the content (raw substring count, the
     * reference's `PhraseBasedRanker.java:107-121` semantics on the single
@@ -49,7 +51,7 @@ object Extras {
     files.join(cands, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         ((length(col("content")) -
-          length(expr(s"replace(graft_ascii_lower(content), '$p', '')"))) /
+          length(expr(s"replace(graft_ascii_lower(content), ${sqlLit(p)}, '')"))) /
           p.length).cast("long").as("n_occ"))
       .orderBy("doc_id")
   }
