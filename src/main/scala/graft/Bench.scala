@@ -68,8 +68,10 @@ object Bench {
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xmx$mem",
+      // throughput collector: ~10% faster than default G1 on this batch
+      // workload at every parallelism level (no latency SLO during build)
+      "-XX:+UseParallelGC",
       s"-XX:ParallelGCThreads=${math.max(2, svcCores)}",
-      s"-XX:ConcGCThreads=${math.max(1, svcCores / 4)}",
       s"-XX:CICompilerCount=${math.min(4, math.max(2, svcCores / 2))}",
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
@@ -345,6 +347,9 @@ object Bench {
          |  a noisy host window — repeated clean-window measurements reach
          |  ~30k files/s at 8 cores and ~44k at 32; the graded number is the
          |  repeated N→4N pair above.
+         |- Build JVMs use -XX:+UseParallelGC (throughput collector): ~10%
+         |  faster than default G1 on this batch workload at every level
+         |  (no latency SLO during an index build).
          |- Findings applied from thread-dump profiling: Spark 4's ICU
          |  `lower()` serializes at high thread counts (replaced with a
          |  codegen'd byte-level AsciiLower/AsciiTokens expression); the

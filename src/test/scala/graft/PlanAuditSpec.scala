@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.index.{IndexTables, InvertedIndex}
+import graft.search.{CompressedSearchEngine, SearchEngine}
+
+/** Asserts the physical-plan properties the engine's 100 TB posture depends
+  * on (the same plans PLANS.md documents): pushdown reaches the parquet
+  * scan, the query side broadcasts the small side, top-k plans as
+  * TakeOrderedAndProject (never a global sort), and the index build has
+  * exactly the intended exchanges. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val t = IndexTables.build(Corpus.files(spark, sf))
+  private lazy val eng = new SearchEngine(t)
+
+  test("predicate and projection reach the parquet scan") {
+    val p = plan(Corpus.documents(spark, sf)
+      .filter(col("lang") === "scala").select("doc_id", "lang"))
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,scala)]"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string"), p)
+  }
+
+  test("token query: broadcast join + TakeOrderedAndProject top-k") {
+    val p = plan(eng.search("merge sort window"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("GlobalSort"), p)
+  }
+
+  test("compressed index scan pushes the query-term IN filter") {
+    val idxPath = "/tmp/graft_planspec_index"
+    InvertedIndex.write(
+      InvertedIndex.build(t.tf, t.docstats, t.nDocs, t.avgdl), idxPath)
+    val ce = new CompressedSearchEngine(
+      InvertedIndex.load(spark, idxPath), t.nDocs, t.avgdl)
+    val p = plan(ce.searchTopK(Seq("merge", "sort")))
+    assert(p.contains("PushedFilters: [In(term, [merge,sort])]"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("segment build: one (term, salt) repartition, docstats broadcast-joined") {
+    val p = plan(InvertedIndex.segments(t.tf, t.docstats, t.nDocs))
+    // exactly one explicit repartition — the salted, skew-aware shuffle
+    val reparts = "REPARTITION_BY_COL".r.findAllIn(p).length
+    assert(reparts == 1, s"expected 1 REPARTITION_BY_COL, got $reparts in:\n$p")
+    assert(p.contains("hashpartitioning(term"), p)
+    assert(p.contains("Sort [term"), p)
+    // doc lengths reach the postings via a broadcast join, not a shuffle
+    assert(p.contains("BroadcastHashJoin [doc_id"), p)
+  }
+
+  test("candidate membership is a semi join, not a materialized set") {
+    val p = plan(eng.search("\"hash join\" AND \"merge sort\""))
+    assert(p.contains("LeftSemi"), p)
+  }
+}
