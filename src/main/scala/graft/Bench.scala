@@ -237,6 +237,11 @@ object Bench {
     val (_, tPruned) = timed {
       eng.searchPruned(Seq("merge", "sort", "window"), 10, force = true).collect()
     }
+    // production path: the adaptive gate routes small corpora to the
+    // single-job exhaustive plan (pruning pays above PruneGateDocs)
+    val (_, tPrunedAuto) = timed {
+      eng.searchPruned(Seq("merge", "sort", "window"), 10).collect()
+    }
     val tokenNames = tokenQueries.map(_._1).toSet
     val p50 = median(latencies.collect { case (n, t) if tokenNames(n) => t })
     val structP50 = median(latencies.collect { case (n, t) if !tokenNames(n) => t })
@@ -265,6 +270,7 @@ object Bench {
     val peakEntries = peaks.map { case (n, t) => s"index_build_n$n" -> t }
     val qJson = (perQuery.toSeq.sortBy(_._1) ++ opsT ++ Seq(
       "bm25_pruned" -> tPruned,
+      "bm25_pruned_auto" -> tPrunedAuto,
       s"index_build_n$nSmall" -> tBuildSmall,
       s"index_build_n$nLarge" -> tBuildLarge) ++ peakEntries)
       .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
@@ -290,7 +296,8 @@ object Bench {
       s"| BM25 token-query top-10 p50 latency | ${f(p50)} s |",
       s"| structured (phrase/bool) query p50 latency | ${f(structP50)} s |") ++
       perQuery.toSeq.sortBy(_._1).map { case (k, v) => s"| $k p50 | ${f(v)} s |" } ++
-      Seq(s"| MaxScore-pruned token query | ${f(tPruned)} s |") ++
+      Seq(s"| MaxScore-pruned token query (force=true: full adaptive machinery) | ${f(tPruned)} s |",
+        s"| MaxScore-pruned token query (production: adaptive gate) | ${f(tPrunedAuto)} s |") ++
       opsT.map { case (k, v) => s"| $k | ${f(v)} s |" }
     val md =
       s"""# BENCH — graft engine
