@@ -78,10 +78,13 @@ object CheckpointedBuild {
     Files.exists(p) && Files.readString(p).contains("\"status\": \"complete\"")
   }
 
-  /** Run (or resume) the bucketed build. Returns corpus stats. */
+  /** Run (or resume) the bucketed build. Returns corpus stats.
+    * `bucketConc` ≤ 0 → auto (env SPARK_GRAFT_BUCKET_CONC, else sequential
+    * below 16 cores, +1 in-flight bucket per 16 cores). */
   def run(files: DataFrame, outDir: String, nBuckets: Int = 8,
           saltBuckets: Int = 32, analyzer: String = "simple",
-          failAfterBuckets: Int = Int.MaxValue): BuildStats = {
+          failAfterBuckets: Int = Int.MaxValue,
+          bucketConc: Int = -1): BuildStats = {
     val spark = files.sparkSession
     Files.createDirectories(Paths.get(outDir))
     val bounds = files.agg(min("doc_id"), max("doc_id")).head()
@@ -152,7 +155,8 @@ object CheckpointedBuild {
       // in-flight buckets per additional 16 cores beyond that.
       val defConc = math.max(1, spark.sparkContext.defaultParallelism / 16)
       val conc = math.max(1, math.min(todo.size,
-        sys.env.get("SPARK_GRAFT_BUCKET_CONC").map(_.toInt).getOrElse(defConc)))
+        if (bucketConc > 0) bucketConc
+        else sys.env.get("SPARK_GRAFT_BUCKET_CONC").map(_.toInt).getOrElse(defConc)))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
       try {
         import scala.concurrent.{Await, ExecutionContext, Future}

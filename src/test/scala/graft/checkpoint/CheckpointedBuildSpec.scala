@@ -53,6 +53,21 @@ class CheckpointedBuildSpec extends SparkSpec {
       mb.map(m => (m.partition_id, m.snapshot_id, m.rows, m.postings)))
   }
 
+  test("concurrent bucket jobs == sequential build") {
+    val seqDir = tmpDir("seq")
+    val concDir = tmpDir("conc")
+    CheckpointedBuild.run(files, seqDir, nBuckets = 4, bucketConc = 1)
+    CheckpointedBuild.run(files, concDir, nBuckets = 4, bucketConc = 4)
+    val a = CheckpointedBuild.load(spark, seqDir)
+    val b = CheckpointedBuild.load(spark, concDir)
+    assert(a.decoded(None).orderBy("term", "doc_id").collect().toSeq ===
+      b.decoded(None).orderBy("term", "doc_id").collect().toSeq)
+    val ma = CheckpointedBuild.readManifests(seqDir)
+    val mb = CheckpointedBuild.readManifests(concDir)
+    assert(ma.map(m => (m.partition_id, m.snapshot_id, m.rows, m.postings)) ===
+      mb.map(m => (m.partition_id, m.snapshot_id, m.rows, m.postings)))
+  }
+
   test("checkpointed search equals direct in-memory build") {
     val out = tmpDir("eq")
     CheckpointedBuild.run(files, out, nBuckets = 3)
