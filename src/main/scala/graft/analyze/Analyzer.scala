@@ -21,8 +21,12 @@ import scala.collection.mutable.ArrayBuffer
 object Analyzer {
 
   /** Reference normalization chain: lowercase → strip `[^a-z0-9]` →
-    * stopword drop → Porter stem (`Utils/Tokenizer.java:38-44`). */
-  def normalize(raw: String): Option[String] = {
+    * stopword drop → Porter stem (`Utils/Tokenizer.java:38-44`). For the
+    * code corpus, `extraStops` carries the document language's reserved
+    * words (the code analog of the English stopword list) — dropped at the
+    * same pre-stem stage. */
+  def normalize(raw: String,
+                extraStops: Set[String] = Set.empty): Option[String] = {
     val sb = new StringBuilder(raw.length)
     var i = 0
     while (i < raw.length) {
@@ -31,7 +35,8 @@ object Analyzer {
       i += 1
     }
     val cleaned = sb.toString
-    if (cleaned.isEmpty || StopWords.set.contains(cleaned)) None
+    if (cleaned.isEmpty || StopWords.set.contains(cleaned) ||
+      extraStops.contains(cleaned)) None
     else Some(PorterStemmer.stem(cleaned))
   }
 
@@ -71,13 +76,17 @@ object Analyzer {
   }
 
   /** Code-aware tokens: raw identifier tokens plus camel/snake subtokens,
-    * each passed through the reference normalization chain. */
-  def codeTokens(content: String): Seq[String] = {
+    * each passed through the reference normalization chain. When `lang`
+    * names a known programming language, its reserved words are dropped
+    * like stopwords (per-lang dispatch; unknown langs drop nothing). */
+  def codeTokens(content: String, lang: String = ""): Seq[String] = {
+    val kw = LangKeywords.forLang(lang)
     val out = ArrayBuffer.empty[String]
     for (raw <- content.split("[^A-Za-z0-9_]+") if raw.nonEmpty) {
-      normalize(raw).foreach(out += _)
+      normalize(raw, kw).foreach(out += _)
       val parts = splitIdentifier(raw)
-      if (parts.length > 1) parts.foreach(p => normalize(p).foreach(out += _))
+      if (parts.length > 1)
+        parts.foreach(p => normalize(p, kw).foreach(out += _))
     }
     out.toSeq
   }

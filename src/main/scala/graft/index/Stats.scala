@@ -29,8 +29,14 @@ object Stats {
           explode(graft.functions.GraftFunctions.asciiTokens(col("content")))
             .as("term"))
       case "code" =>
-        val tokUdf = udf((c: String) => Analyzer.codeTokens(c))
-        files.select(col("doc_id"), explode(tokUdf(col("content"))).as("term"))
+        // per-lang dispatch: the document's lang column selects the
+        // reserved-word stop set inside the tokenizer
+        val tokUdf = udf((c: String, l: String) => Analyzer.codeTokens(c, l))
+        val withLang =
+          if (files.columns.contains("lang")) files
+          else files.withColumn("lang", lit(""))
+        withLang.select(col("doc_id"),
+          explode(tokUdf(col("content"), col("lang"))).as("term"))
       case other => throw new IllegalArgumentException(s"analyzer: $other")
     }
 

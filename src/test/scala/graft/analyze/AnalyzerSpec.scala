@@ -76,4 +76,21 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(toks.contains("respons"))
     assert(toks.contains("x"))
   }
+
+  test("per-lang dispatch drops the language's reserved words") {
+    val src = "val totalCount = computeTotal(input) match { case x => x }"
+    val scala = Analyzer.codeTokens(src, "scala")
+    assert(!scala.contains("val") && !scala.contains("match") && !scala.contains("case"))
+    assert(scala.contains("totalcount") && scala.contains("comput"))
+    // same text under an unknown lang keeps the keywords
+    val generic = Analyzer.codeTokens(src, "en")
+    assert(generic.contains("val") && generic.contains("match"))
+    // python has a different reserved set: 'val'/'match' survive, 'lambda' doesn't
+    val py = Analyzer.codeTokens("val = lambda x: match_all(x)", "python")
+    assert(py.contains("val") && !py.contains("lambda"))
+    // keyword drop happens pre-stem on the cleaned token, like stopwords:
+    // the literal keyword "return" is dropped, while "returns" survives the
+    // drop and only then stems to "return" — exactly one token remains
+    assert(Analyzer.codeTokens("return returns", "go") === Seq("return"))
+  }
 }

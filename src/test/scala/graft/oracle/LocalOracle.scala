@@ -16,9 +16,15 @@ object LocalOracle {
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   def search(docs: Seq[(Long, String)], analyzer: String, raw: String,
-             k: Int = 10): Seq[(Long, Double)] = {
+             k: Int = 10, docLang: String = ""): Seq[(Long, Double)] = {
+    // documents tokenize with their language's keyword stop set (per-lang
+    // dispatch); queries have no language and keep keywords
+    def docTokens(c: String): Seq[String] = analyzer match {
+      case "code" => Analyzer.codeTokens(c, docLang)
+      case _      => Analyzer.queryTokens(analyzer, c)
+    }
     val toks: Map[Long, Seq[String]] =
-      docs.map { case (id, c) => id -> Analyzer.queryTokens(analyzer, c) }.toMap
+      docs.map { case (id, c) => id -> docTokens(c) }.toMap
     val tf: Map[Long, Map[String, Int]] =
       toks.map { case (id, ts) => id -> ts.groupBy(identity).map { case (t, g) => t -> g.size } }
     val df: Map[String, Int] =

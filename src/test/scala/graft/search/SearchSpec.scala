@@ -25,7 +25,8 @@ class SearchSpec extends SparkSpec {
     val rnd = new scala.util.Random(seed)
     val vocab = Seq("merge", "sort", "window", "the", "running", "jumped",
       "parseHttp", "snake_case", "scan", "filter", "hash", "join", "batch",
-      "relational", "hopeful", "x1", "a", "dup")
+      "relational", "hopeful", "x1", "a", "dup",
+      "val", "match") // scala keywords: dropped per-lang by the code analyzer
     (0L until nDocs.toLong).map { id =>
       val n = 3 + rnd.nextInt(50)
       id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
@@ -60,7 +61,7 @@ class SearchSpec extends SparkSpec {
       for (q <- queryForms) {
         val got = eng.search(q, 10).collect()
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-        val want = LocalOracle.search(docs, analyzer, q, 10)
+        val want = LocalOracle.search(docs, analyzer, q, 10, docLang = "scala")
         assert(got === want, s"query [$q] analyzer=$analyzer seed=$seed")
       }
     }
