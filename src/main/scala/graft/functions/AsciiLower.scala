@@ -111,12 +111,15 @@ object AsciiTokens {
 object GraftFunctions {
   val AsciiLowerName = "graft_ascii_lower"
   val AsciiTokensName = "graft_tokens"
+  val DecodePostingsName = "graft_decode_postings"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       AsciiLowerName, exprs => AsciiLower(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       AsciiTokensName, exprs => AsciiTokens(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DecodePostingsName, exprs => DecodePostings(exprs.head), "built-in")
   }
 
   /** `ascii_lower(c)` — caller must have [[register]]ed on the session that
@@ -125,4 +128,7 @@ object GraftFunctions {
 
   /** `graft_tokens(c)`: lowercased `[a-z0-9]+` token array. */
   def asciiTokens(c: Column): Column = call_function(AsciiTokensName, c)
+
+  /** `graft_decode_postings(c)`: var-byte chunk → array<struct<doc_id,tf,len>>. */
+  def decodePostings(c: Column): Column = call_function(DecodePostingsName, c)
 }

@@ -2,7 +2,7 @@ package graft.search
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.index.PostingCodec
+
 
 /** BM25 retrieval over the compressed block-max index
   * (`index(term, df, chunk_id, first_doc_id, last_doc_id, n, max_weight,
@@ -26,7 +26,12 @@ import graft.index.PostingCodec
 final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
                                    val avgdl: Double) {
 
-  private val decodeUdf = udf((bytes: Array[Byte]) => PostingCodec.decode(bytes))
+  // native codegen'd decode (graft.functions.DecodePostings) — stays inside
+  // whole-stage codegen fused with the explode, no catalyst↔Scala converters
+  private def decodeCol(c: org.apache.spark.sql.Column) = {
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    graft.functions.GraftFunctions.decodePostings(c)
+  }
 
   private def rowsFor(terms: Seq[String]): DataFrame =
     index.filter(col("term").isin(terms: _*))
@@ -36,7 +41,7 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
   def decoded(terms: Option[Seq[String]] = None): DataFrame = {
     val base = terms.fold(index)(ts => rowsFor(ts))
     base.select(col("term"), col("df"),
-        explode(decodeUdf(col("postings"))).as("p"))
+        explode(decodeCol(col("postings"))).as("p"))
       .select(col("term"), col("df"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"), col("p.len").as("len"))
   }
@@ -166,7 +171,7 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
   /** (term, df, doc_id, tf, len) rows decoded from index chunk rows. */
   private def decodedFrom(chunkRows: DataFrame): DataFrame =
     chunkRows.select(col("term"), col("df"),
-        explode(decodeUdf(col("postings"))).as("p"))
+        explode(decodeCol(col("postings"))).as("p"))
       .select(col("term"), col("df"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"), col("p.len").as("len"))
 }
