@@ -129,6 +129,9 @@ object SparkEntry {
     // Structured Streaming: windowed event-time agg == batch oracle
     "q_stream_window" -> ((s, dir) =>
       streaming.StreamingOps.windowedEventCounts(s, dir)),
+    // flatMapGroupsWithState custom state: gap-based sessionization
+    "q_stream_sessions" -> ((s, dir) =>
+      streaming.StreamingOps.sessionize(s, dir)),
     // O3/P5/A11: query-log prefix suggestions
     "q_suggestions" -> ((s, dir) =>
       search.Extras.suggest(
@@ -229,6 +232,19 @@ object SparkEntry {
       "q_tokcount" -> OpsOracles.tokenCounts,
       "q_fingerprint" -> OpsOracles.fingerprint,
       "q_multimodal" -> OpsOracles.multimodal,
+      "q_stream_sessions" ->
+        """WITH d AS (
+          |  SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+          |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+          |           OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM events),
+          |s AS (
+          |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM d)
+          |SELECT user_id, session_id, min(ts_ms) AS session_start_ms,
+          |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+          |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
       "q_stream_window" ->
         """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
           |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value

@@ -19,17 +19,29 @@ object StreamingOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Tumbling 5-minute windowed counts/sums over the events stream. */
-  def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  final case class SessionEvent(user_id: Long, ts_ms: Long, value: Double)
+  final case class Session(user_id: Long, session_id: Long,
+                           session_start_ms: Long, n_events: Long,
+                           sum_value: Double)
+
+  /** File-source streaming dir for the events table (the source requires a
+    * directory: stage a symlink). */
+  private def streamDir(spark: SparkSession, sfDir: String): (String, org.apache.spark.sql.types.StructType) = {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    // the file stream source requires a directory: stage a symlink
     val dir = java.nio.file.Paths.get(
       s"/tmp/graft_stream_src_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
     java.nio.file.Files.createDirectories(dir)
     val link = dir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    (dir.toString, schema)
+  }
+
+  /** Tumbling 5-minute windowed counts/sums over the events stream. */
+  def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dirStr, schema) = streamDir(spark, sfDir)
+    val dir = java.nio.file.Paths.get(dirStr)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val q = spark.readStream
       .schema(schema)
@@ -51,5 +63,63 @@ object StreamingOps {
       unix_timestamp(col("window.start")).as("win_start"),
       col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
+  }
+
+  /** Gap-based sessionization per user via `flatMapGroupsWithState` — the
+    * custom-state streaming surface (`KeyValueGroupedDataset`). A session
+    * closes after `gapMinutes` of user inactivity; emits
+    * (user_id, session_id, session_start_ms, n_events, sum_value).
+    *
+    * Driven deterministically with `Trigger.AvailableNow` over one snapshot
+    * = one micro-batch, so every session closes in-batch and the output
+    * equals the batch window-function oracle (lag/cumulative-sum). The
+    * `GroupState[Long]` carries the per-user session counter — the hook a
+    * multi-batch deployment extends with (lastTs, openSession) +
+    * `GroupStateTimeout.EventTimeTimeout` for sessions that straddle
+    * micro-batches. Millisecond precision on both sides (oracle compares
+    * `epoch_ms` diffs) so the gap test is bit-identical.
+    */
+  def sessionize(spark: SparkSession, sfDir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val (dirStr, schema) = streamDir(spark, sfDir)
+    val gapMs = gapMinutes * 60000L
+    val name = s"graft_sessions_${counter.incrementAndGet()}"
+
+    def fn(user: Long, events: Iterator[SessionEvent],
+           state: GroupState[Long]): Iterator[Session] = {
+      val sorted = events.toArray.sortBy(_.ts_ms)
+      if (sorted.isEmpty) return Iterator.empty
+      val base = state.getOption.getOrElse(0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var start = sorted(0).ts_ms
+      var prev = start
+      var n = 0L
+      var sum = 0.0
+      def close(sid: Long): Unit = out += Session(user, sid, start,
+        n, BigDecimal(sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      for (e <- sorted) {
+        if (e.ts_ms - prev > gapMs) {
+          close(base + out.length); start = e.ts_ms; n = 0L; sum = 0.0
+        }
+        n += 1; sum += e.value; prev = e.ts_ms
+      }
+      close(base + out.length)
+      state.update(base + out.length)
+      out.iterator
+    }
+
+    val q = spark.readStream.schema(schema).parquet(dirStr)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000").as("ts_ms"),
+        col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "session_id")
   }
 }

@@ -23,6 +23,28 @@ class ExtrasSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming sessionization == batch window-function sessionization") {
+    val streamed = StreamingOps.sessionize(spark, dir).collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ms")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000").as("ts_ms"),
+        col("value"))
+      .withColumn("brk",
+        when(col("ts_ms") - lag("ts_ms", 1).over(w) > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("brk").over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_ms").as("session_start_ms"), count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("user_id", "session_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // at least one user has multiple sessions, so gaps actually split
+    assert(streamed.exists(_.getLong(1) > 0))
+  }
+
   test("suggestions: prefix filter, count-desc order, limit") {
     val got = Extras.suggest(Extras.queryLog(t.termstats), "s", 3).collect()
     assert(got.length === 3)
