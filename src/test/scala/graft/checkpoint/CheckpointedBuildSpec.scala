@@ -53,6 +53,23 @@ class CheckpointedBuildSpec extends SparkSpec {
       mb.map(m => (m.partition_id, m.snapshot_id, m.rows, m.postings)))
   }
 
+  test("resume == fresh at every possible failure point") {
+    val freshDir = tmpDir("allfresh")
+    CheckpointedBuild.run(files, freshDir, nBuckets = 3)
+    val want = CheckpointedBuild.load(spark, freshDir)
+      .decoded(None).orderBy("term", "doc_id").collect().toSeq
+    for (failAt <- 0 to 2) {
+      val dir = tmpDir(s"fail$failAt")
+      intercept[CheckpointedBuild.InjectedFailure] {
+        CheckpointedBuild.run(files, dir, nBuckets = 3, failAfterBuckets = failAt)
+      }
+      CheckpointedBuild.run(files, dir, nBuckets = 3)
+      val got = CheckpointedBuild.load(spark, dir)
+        .decoded(None).orderBy("term", "doc_id").collect().toSeq
+      assert(got === want, s"failure point $failAt")
+    }
+  }
+
   test("concurrent bucket jobs == sequential build") {
     val seqDir = tmpDir("seq")
     val concDir = tmpDir("conc")
