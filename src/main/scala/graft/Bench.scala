@@ -110,11 +110,15 @@ object Bench {
     val docs = Corpus.documents(s, sfDir)
     val n = docs.count()
     val r = math.max(1L, target / n)
+    // replicated id materialized first so repo/path/commit derive from the
+    // NEW doc_id (mirrors IndexBuildJob.corpusOf)
     val f = docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         explode(sequence(lit(0L), lit(r - 1))).as("rep"))
+      .select((col("doc_id") * r + col("rep")).as("doc_id"),
+        col("text"), col("lang"), col("source"))
       .select(
-        (col("doc_id") * r + col("rep")).as("doc_id"),
+        col("doc_id"),
         concat(lit("org"), (col("doc_id") % 10).cast("string"), lit("/"),
           col("source")).as("repo"),
         concat(lit("src/doc_"), col("doc_id").cast("string")).as("path"),
@@ -234,6 +238,18 @@ object Bench {
     }
     val perQuery = latencies.groupBy(_._1).view
       .mapValues(v => median(v.map(_._2))).toMap
+    // both exact phrase plans, measured side by side: the production path
+    // above is gated (substring verify over candidates below PhraseGateDocs);
+    // these force the positional adjacency pre-filter at the same corpus so
+    // the crossover claim is a recorded number, not prose
+    val posQueries = Seq("phrase_pos" -> "\"hash join\"",
+      "bool_and_pos" -> "\"merge sort\" AND \"table scan\"")
+    posQueries.foreach { case (_, q) =>
+      eng.search(q, filesC, 10, forcePositional = true).collect() } // warm
+    val posT = posQueries.map { case (name, q) =>
+      name -> median((1 to 3).map(_ =>
+        timed(eng.search(q, filesC, 10, forcePositional = true).collect())._2))
+    }
     val (_, tPruned) = timed {
       eng.searchPruned(Seq("merge", "sort", "window"), 10, force = true).collect()
     }
@@ -271,7 +287,7 @@ object Bench {
 
     def f(d: Double) = "%.4f".format(d)
     val peakEntries = peaks.map { case (n, t) => s"index_build_n$n" -> t }
-    val qJson = (perQuery.toSeq.sortBy(_._1) ++ opsT ++ Seq(
+    val qJson = (perQuery.toSeq.sortBy(_._1) ++ posT ++ opsT ++ Seq(
       "bm25_pruned" -> tPruned,
       "bm25_pruned_auto" -> tPrunedAuto,
       s"index_build_n$nSmall" -> tBuildSmall,
@@ -299,6 +315,8 @@ object Bench {
       s"| BM25 token-query top-10 p50 latency | ${f(p50)} s |",
       s"| structured (phrase/bool) query p50 latency | ${f(structP50)} s |") ++
       perQuery.toSeq.sortBy(_._1).map { case (k, v) => s"| $k p50 | ${f(v)} s |" } ++
+      posT.map { case (k, v) =>
+        s"| $k (positional adjacency plan forced at this corpus) | ${f(v)} s |" } ++
       Seq(s"| MaxScore-pruned token query (force=true: full adaptive machinery) | ${f(tPruned)} s |",
         s"| MaxScore-pruned token query (production: adaptive gate) | ${f(tPrunedAuto)} s |") ++
       opsT.map { case (k, v) => s"| $k | ${f(v)} s |" }

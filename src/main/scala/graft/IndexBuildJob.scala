@@ -54,10 +54,16 @@ object IndexBuildJob {
       val docs = corpus.Corpus.documents(spark, sfDir)
       val n = docs.count()
       val r = math.max(1L, targetFiles / n)
+      // replicated id is materialized in its own select first so the
+      // repo/path/commit derivations below see the NEW doc_id (inside one
+      // select, col("doc_id") would still resolve to the input column and
+      // all r replicas would share identical metadata)
       val f = docs
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           explode(sequence(lit(0L), lit(r - 1))).as("rep"))
         .select((col("doc_id") * r + col("rep")).as("doc_id"),
+          col("text"), col("lang"), col("source"))
+        .select(col("doc_id"),
           concat(lit("org"), (col("doc_id") % 10).cast("string"), lit("/"), col("source")).as("repo"),
           concat(lit("src/doc_"), col("doc_id").cast("string")).as("path"),
           md5(concat(lit("commit"), col("doc_id").cast("string"))).as("commit"),

@@ -55,13 +55,18 @@ object OpsOracles {
        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Mirrors Dedup.ngramJaccardTop with its default maxDf=100 cap active:
+    * only shingles with df <= 100 generate candidate pairs; set sizes stay
+    * uncapped (same as the Spark side). */
   val ngramJaccard: String =
     s"""WITH $wordsCtes,
        |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+       |rare AS (SELECT shingle FROM dsh GROUP BY shingle HAVING count(*) <= 100),
+       |fsh AS (SELECT dsh.* FROM dsh JOIN rare USING (shingle)),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-       |  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
        |)
        |SELECT doc_a, doc_b,
@@ -124,13 +129,19 @@ object OpsOracles {
        |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos
        |FROM d ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** Mirrors Similarity.nearDupPairs: pairs generated within sign-LSH
+    * buckets (8 bits), never all-pairs. */
   val nearDupEmbed: String =
-    s"""WITH p AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    ${cosSums("a.embedding", "b.embedding")}
-       |  FROM embeddings a, embeddings b, range(1, 65) r(i)
-       |  WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id
-       |  GROUP BY a.vec_id, b.vec_id
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
+       |  FROM embeddings
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |    ${cosSums("a.embedding", "b2.embedding")}
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id,
+       |       range(1, 65) r(i)
+       |  GROUP BY a.vec_id, b2.vec_id
        |)
        |SELECT vec_a, vec_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos
        |FROM p ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin

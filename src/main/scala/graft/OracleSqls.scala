@@ -70,8 +70,10 @@ object OracleSqls {
        |  WHERE contains(lower(f.content), '$phrase')
        |)""".stripMargin
 
-  /** BM25 scored top-k select over a candidate CTE (or all matching docs). */
-  def bm25Select(terms: Seq[String], candCte: Option[String], k: Int = 10): String = {
+  /** BM25 scored top-k select over a candidate CTE (or all matching docs).
+    * `offset` mirrors the engine's pagination slice (O2). */
+  def bm25Select(terms: Seq[String], candCte: Option[String], k: Int = 10,
+                 offset: Int = 0): String = {
     val candJoin = candCte.fold("")(c => s"\n  JOIN $c USING (doc_id)")
     s"""scored AS (
        |  SELECT tf.doc_id,
@@ -86,6 +88,7 @@ object OracleSqls {
        |  GROUP BY tf.doc_id
        |)
        |SELECT doc_id, round(score, 4) AS score FROM scored
-       |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT $k""".stripMargin
+       |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT $k${
+        if (offset > 0) s" OFFSET $offset" else ""}""".stripMargin
   }
 }

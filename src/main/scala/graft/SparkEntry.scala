@@ -21,11 +21,14 @@ object SparkEntry {
   private def eng(s: SparkSession, dir: String): SearchEngine =
     new SearchEngine(tables(s, dir))
 
-  private def ceng(s: SparkSession, dir: String): CompressedSearchEngine = {
-    val t = tables(s, dir)
-    val idx = InvertedIndex.build(t.tf, t.docstats, t.nDocs, t.avgdl)
+  private def cengFrom(t: IndexTables): CompressedSearchEngine = {
+    val idx = InvertedIndex.build(graft.index.Stats.tokensPos(t.files),
+      t.nDocs, t.avgdl)
     new CompressedSearchEngine(idx, t.nDocs, t.avgdl)
   }
+
+  private def ceng(s: SparkSession, dir: String): CompressedSearchEngine =
+    cengFrom(tables(s, dir))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -90,10 +93,28 @@ object SparkEntry {
     // MaxScore/block-range pruned top-k — rank-identical to exhaustive
     "q_bm25_pruned" -> ((s, dir) =>
       ceng(s, dir).searchPruned(Seq("merge", "sort", "window"), 10, force = true)),
+    // positional payload roundtrip: decode(encode(positions)) == posexplode
+    "q_positions" -> ((s, dir) =>
+      ceng(s, dir).occurrencesAll()
+        .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+        .orderBy("term", "doc_id", "pos")),
+    // P4 phrase over the compressed index WITH the positional adjacency
+    // pre-filter forced on (the sf0.01 corpus is below the phrase gate) —
+    // must hash-match the plain substring-semantics oracle
+    "q_phrase_pos" -> ((s, dir) => {
+      val t = tables(s, dir)
+      cengFrom(t).search("\"hash join\"", t.files, forcePositional = true)
+    }),
+    // E1 boolean AND through the same positional phrase path
+    "q_bool_and_pos" -> ((s, dir) => {
+      val t = tables(s, dir)
+      cengFrom(t).search("\"merge sort\" AND \"table scan\"", t.files,
+        forcePositional = true)
+    }),
     // S7 checkpointed build + resume: full bucketed pipeline with lineage
     // manifests, then query the published index
     "q_bm25_checkpointed" -> ((s, dir) => {
-      val out = s"/tmp/graft_ckpt_v2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val out = s"/tmp/graft_ckpt_v3_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       graft.checkpoint.CheckpointedBuild.run(Corpus.files(s, dir), out, nBuckets = 4)
       graft.checkpoint.CheckpointedBuild.load(s, out)
         .searchTopK(Seq("merge", "sort", "window"))
@@ -132,15 +153,27 @@ object SparkEntry {
     // flatMapGroupsWithState custom state: gap-based sessionization
     "q_stream_sessions" -> ((s, dir) =>
       streaming.StreamingOps.sessionize(s, dir)),
-    // O3/P5/A11: query-log prefix suggestions
+    // S10/A11/O3/P5: REAL query-log sink — three append batches replayed
+    // into a fresh log table, counted, prefix-suggested (raw key,
+    // normalized match, reference dbManager.java:513-552)
     "q_suggestions" -> ((s, dir) =>
-      search.Extras.suggest(
-        search.Extras.queryLog(tables(s, dir).termstats), "s")),
-    // F13: snippets for the flagship query's result page
+      search.QueryLog.suggest(search.QueryLog.replay(s,
+        s"/tmp/graft_querylog_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"), "s")),
+    // O2: pagination — page 2 of 3-per-page over the flagship query
+    "q_paged" -> ((s, dir) =>
+      eng(s, dir).searchPage("merge sort window", page = 2, limit = 3)),
+    // F13: paragraph snippets for the flagship query's result page
+    // (first matching newline block, 100-word truncation, whole-doc fallback)
     "q_snippets" -> ((s, dir) => {
       val e = eng(s, dir)
       search.Extras.withSnippets(e.search("merge sort window"),
-        e.t.files, "merge")
+        e.t.files, "merge sort window")
+    }),
+    // F13 boolean path: paragraph must satisfy the AND of both phrases
+    "q_snippets_bool" -> ((s, dir) => {
+      val e = eng(s, dir)
+      val q = "\"merge sort\" AND \"table scan\""
+      search.Extras.withSnippets(e.search(q), e.t.files, q)
     }),
     // F12: phrase occurrence counts over phrase candidates
     "q_phrase_count" -> ((s, dir) => {
@@ -173,6 +206,31 @@ object SparkEntry {
          |${b.phraseCte("phr2", p2, ph2)},
          |cand AS (SELECT doc_id FROM phr1 $op SELECT doc_id FROM phr2),
          |${b.bm25Select(scoreTerms, Some("cand"))}""".stripMargin
+    // wrap a full (doc_id, score) bm25 query: first matching paragraph (cond
+    // over alias p), 100-word truncation, whole-doc fallback — mirrors
+    // Extras.withSnippets exactly
+    def snippetOracle(fullBm25: String, cond: String): String = {
+      val idx = fullBm25.lastIndexOf("\nSELECT doc_id")
+      val ctes = fullBm25.substring(0, idx)
+      val finalSel = fullBm25.substring(idx + 1)
+      s"""$ctes,
+         |topk AS (
+         |$finalSel
+         |),
+         |ch AS (
+         |  SELECT t.doc_id, t.score,
+         |    coalesce(list_filter(string_split(f.content, chr(10)),
+         |      p -> $cond)[1], f.content) AS chosen
+         |  FROM topk t JOIN files f USING (doc_id)),
+         |cw AS (
+         |  SELECT doc_id, score, chosen,
+         |    list_filter(string_split_regex(chosen, '\\s+'), x -> x <> '') AS w
+         |  FROM ch)
+         |SELECT doc_id, score,
+         |  CASE WHEN len(w) <= 100 THEN chosen
+         |       ELSE array_to_string(w[1:100], ' ') || '...' END AS snippet
+         |FROM cw ORDER BY score DESC, doc_id ASC""".stripMargin
+    }
     Map(
       "q_corpus_files" ->
         s"""WITH ${b.filesCte}
@@ -218,6 +276,25 @@ object SparkEntry {
            |FROM termstats ORDER BY term""".stripMargin,
       "q_bm25_compressed" -> bm25(Seq("merge", "sort", "window"), Nil, None),
       "q_bm25_pruned" -> bm25(Seq("merge", "sort", "window"), Nil, None),
+      "q_positions" ->
+        s"""WITH ${b.filesCte},
+           |w AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(lower(content), '[^a-z0-9]+'),
+           |                     x -> x <> '') AS toks
+           |  FROM files
+           |),
+           |occ AS (
+           |  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos
+           |  FROM w
+           |)
+           |SELECT doc_id, term, CAST(pos AS BIGINT) AS pos FROM occ
+           |ORDER BY term, doc_id, pos""".stripMargin,
+      "q_phrase_pos" -> bm25(Seq("hash", "join"),
+        Seq(b.phraseCte("phr", Seq("hash", "join"), "hash join")), Some("phr")),
+      "q_bool_and_pos" -> boolQ(Seq("merge", "sort"), "merge sort",
+        Seq("table", "scan"), "table scan", "INTERSECT",
+        Seq("merge", "sort", "table", "scan")),
       "q_bm25_checkpointed" -> bm25(Seq("merge", "sort", "window"), Nil, None),
       "q_dedup_exact" -> OpsOracles.dedupExact,
       "q_minhash_sig" -> OpsOracles.minhashSig,
@@ -249,24 +326,32 @@ object SparkEntry {
         """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
           |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
-      "q_suggestions" ->
-        s"""${b.base}
-           |SELECT term AS query, df AS cnt FROM termstats
-           |WHERE term LIKE 's%'
-           |ORDER BY cnt DESC, query ASC LIMIT 10""".stripMargin,
-      "q_snippets" -> {
-        val inner = b.bm25Select(Seq("merge", "sort", "window"), None)
-        val Array(scoredCte, finalSel) = inner.split("\\n(?=SELECT doc_id)")
-        s"""${b.base},
-           |$scoredCte,
-           |topk AS (
-           |$finalSel
-           |)
-           |SELECT t.doc_id, t.score,
-           |  substr(f.content, greatest(strpos(lower(f.content), 'merge'), 1), 150) AS snippet
-           |FROM topk t JOIN files f USING (doc_id)
-           |ORDER BY t.score DESC, t.doc_id ASC""".stripMargin
+      "q_suggestions" -> {
+        // mirror of QueryLog.replay + suggest: the same literal stream,
+        // grouped by RAW query, prefix-matched on the normalized form
+        val vals = search.QueryLog.ReplayBatches.flatten
+          .filter(q => q.trim.nonEmpty && search.QueryLog.normalize(q).nonEmpty)
+          .map(q => s"('${q.replace("'", "''")}')").mkString(", ")
+        s"""WITH log(query) AS (VALUES $vals),
+           |c AS (
+           |  SELECT query, count(*) AS cnt,
+           |    array_to_string(list_filter(
+           |      string_split_regex(lower(query), '[^a-z0-9]+'),
+           |      x -> x <> ''), ' ') AS norm
+           |  FROM log GROUP BY query)
+           |SELECT query, cnt FROM c WHERE norm LIKE 's%'
+           |ORDER BY cnt DESC, query ASC LIMIT 10""".stripMargin
       },
+      "q_paged" ->
+        s"${b.base},\n${b.bm25Select(Seq("merge", "sort", "window"), None, 3, 3)}",
+      "q_snippets" -> snippetOracle(
+        s"${b.base},\n${b.bm25Select(Seq("merge", "sort", "window"), None)}",
+        "contains(lower(p), 'merge sort window')"),
+      "q_snippets_bool" -> snippetOracle(
+        boolQ(Seq("merge", "sort"), "merge sort",
+          Seq("table", "scan"), "table scan", "INTERSECT",
+          Seq("merge", "sort", "table", "scan")),
+        "contains(lower(p), 'merge sort') AND contains(lower(p), 'table scan')"),
       "q_phrase_count" ->
         s"""${b.base},
            |${b.phraseCte("phr", Seq("hash", "join"), "hash join")}

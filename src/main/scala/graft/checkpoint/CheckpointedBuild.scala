@@ -80,16 +80,50 @@ object CheckpointedBuild {
 
   /** Run (or resume) the bucketed build. Returns corpus stats.
     * `bucketConc` ≤ 0 → auto (env SPARK_GRAFT_BUCKET_CONC, else sequential
-    * below 16 cores, +1 in-flight bucket per 16 cores). */
+    * below 16 cores, +1 in-flight bucket per 16 cores). All table data goes
+    * through `io` (the Iceberg seam — graft.sources.TableIO); manifests are
+    * the build's own lineage artifacts and stay JSON. With `verifyResume`
+    * (default), completed buckets are re-validated against the CURRENT
+    * input before being skipped: one narrow job recomputes every bucket's
+    * snapshot hash (count + bit_xor of xxhash64(doc_id, sha) — doc_id+sha
+    * columns only, no content read) and any bucket whose manifest
+    * snapshot_id no longer matches is invalidated and rebuilt, so resuming
+    * into an outDir after the corpus changed can never mix stale segments
+    * with fresh ones. */
   def run(files: DataFrame, outDir: String, nBuckets: Int = 8,
           saltBuckets: Int = 32, analyzer: String = "simple",
           failAfterBuckets: Int = Int.MaxValue,
-          bucketConc: Int = -1): BuildStats = {
+          bucketConc: Int = -1,
+          io: graft.sources.TableIO = graft.sources.ParquetTableIO,
+          verifyResume: Boolean = true): BuildStats = {
     val spark = files.sparkSession
     Files.createDirectories(Paths.get(outDir))
     val bounds = files.agg(min("doc_id"), max("doc_id")).head()
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (maxId - minId + nBuckets) / nBuckets)
+
+    // resume validation: invalidate manifests whose snapshot no longer
+    // matches the current input slice (ADVICE round 1)
+    val completedBefore = (0 until nBuckets).filter(isComplete(outDir, _))
+    if (verifyResume && completedBefore.nonEmpty) {
+      val ms = readManifests(outDir).map(m => m.partition_id -> m).toMap
+      val cur = files
+        .groupBy(expr(s"CAST((doc_id - $minId) DIV $width AS INT)").as("b"))
+        .agg(count(lit(1)).as("rows"),
+          bit_xor(xxhash64(col("doc_id"), col("sha"))).as("snap"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1),
+          java.lang.Long.toHexString(r.getLong(2))))).toMap
+      val stale = completedBefore.filter { b =>
+        val m = ms(b)
+        val (rows, snap) = cur.getOrElse(b, (0L, "empty"))
+        val curSnap = if (rows == 0L) "empty" else snap
+        m.rows != rows || m.snapshot_id != curSnap
+      }
+      stale.foreach { b =>
+        Files.deleteIfExists(manifestPath(outDir, b))
+      }
+    }
 
     def buildBucket(b: Int): Unit = {
         val lo = minId + b * width
@@ -101,37 +135,40 @@ object CheckpointedBuild {
           count(lit(1)).as("rows"),
           sum(when(sha2(col("content"), 256) === col("sha"), 1L).otherwise(0L)).as("sha_ok"),
           bit_xor(xxhash64(col("doc_id"), col("sha"))).as("snap"))
-        // ONE job per bucket: the tf groupBy ends in an Exchange that feeds
-        // both docstats and the postings join, so Spark's ReusedExchange
-        // computes it once; docstats is never materialized to disk (len
-        // rides inside the postings; avgdl comes from the observed sums).
-        val tfObs = Observation(s"tf-$b")
-        val tfb = Stats.tf(observed, analyzer)
-          .observe(tfObs, count(lit(1)).as("postings"))
+        // ONE job per bucket, ONE tokenize pass, ONE wide exchange: the
+        // positional token stream carries len in-row (no docstats join, no
+        // second tokenize) and feeds the salted segment shuffle directly —
+        // tf and positions fold out of the sorted run inside the encoder.
+        // Token/doc metrics are observed ON the same stream (docs_tok counts
+        // the pos==0 row each tokenized doc has exactly once), so no extra
+        // action runs; avgdl comes from these observed sums.
         val dsObs = Observation(s"ds-$b")
-        val dsb = Stats.docstats(tfb)
-          .observe(dsObs, count(lit(1)).as("docs_tok"),
-            sum(col("len")).as("tokens"))
+        val toksP = Stats.tokensPos(observed, analyzer)
+          .observe(dsObs, count(lit(1)).as("tokens"),
+            sum(when(col("pos") === 0, 1L).otherwise(0L)).as("docs_tok"))
         val segObs = Observation(s"seg-$b")
         val seg = InvertedIndex
-          .segments(tfb, dsb, nDocs = math.max(1L, width), saltBuckets)
+          .segments(toksP, nDocs = math.max(1L, width), saltBuckets)
           .observe(segObs, count(lit(1)).as("groups"),
-            sum(length(col("seg"))).as("bytes"))
-        seg.write.mode("overwrite").parquet(s"$outDir/segments/bucket=$b")
+            sum(length(col("seg")) + length(col("pos"))).as("bytes"),
+            sum(col("n")).as("postings"))
+        io.overwrite(seg, s"$outDir/segments/bucket=$b")
         val m = obs.get
         val sm = segObs.get
         val dm = dsObs.get
         val rows = m("rows").asInstanceOf[Long]
         val shaOk = if (rows == 0) 0L else m("sha_ok").asInstanceOf[Long]
         require(shaOk == rows, s"sha256 invariant violated in bucket $b: $shaOk/$rows")
-        val nPostings = tfObs.get("postings").asInstanceOf[Long]
+        val nTokens = dm("tokens").asInstanceOf[Long]
+        val nPostings =
+          if (rows == 0 || nTokens == 0) 0L else sm("postings").asInstanceOf[Long]
         val snap = if (rows == 0) "empty"
           else java.lang.Long.toHexString(m("snap").asInstanceOf[Long])
         writeManifest(outDir, BucketManifest(b, snap, rows, nPostings,
-          if (rows == 0) 0L else sm("bytes").asInstanceOf[Long],
+          if (rows == 0 || nTokens == 0) 0L else sm("bytes").asInstanceOf[Long],
           shaOk, "complete",
-          tokens = if (rows == 0) 0L else dm("tokens").asInstanceOf[Long],
-          docsTok = dm("docs_tok").asInstanceOf[Long]))
+          tokens = nTokens,
+          docsTok = if (nTokens == 0) 0L else dm("docs_tok").asInstanceOf[Long]))
     }
 
     val todo = (0 until nBuckets).filterNot(isComplete(outDir, _))
@@ -167,24 +204,26 @@ object CheckpointedBuild {
     }
 
     // merge + publish (rerun unconditionally; cheap relative to bucket scans)
-    val segAll = spark.read.parquet(s"$outDir/segments")
+    val segAll = io.read(spark, s"$outDir/segments")
     val ms = readManifests(outDir)
     val nDocs = ms.map(_.rows).sum
     val docsTok = math.max(1L, ms.map(_.docsTok).sum)
     val avgdl = ms.map(_.tokens).sum.toDouble / docsTok
-    val index = InvertedIndex.mergeSegments(segAll.select("term", "seg"), avgdl)
-    InvertedIndex.write(index, s"$outDir/index")
+    val index = InvertedIndex.mergeSegments(
+      segAll.select("term", "seg", "pos"), avgdl)
+    InvertedIndex.write(index, s"$outDir/index", io = io)
     Files.writeString(Paths.get(s"$outDir/scalars.json"),
       s"""{"n_docs": $nDocs, "avgdl": $avgdl, "buckets": $nBuckets, "status": "published"}""")
     BuildStats(nDocs, avgdl, nBuckets)
   }
 
   /** Load a published checkpointed index as a query engine. */
-  def load(spark: SparkSession, outDir: String): CompressedSearchEngine = {
+  def load(spark: SparkSession, outDir: String,
+           io: graft.sources.TableIO = graft.sources.ParquetTableIO): CompressedSearchEngine = {
     val scalars = Files.readString(Paths.get(s"$outDir/scalars.json"))
     require(scalars.contains("\"status\": \"published\""), s"index at $outDir not published")
     val n = """"n_docs":\s*(\d+)""".r.findFirstMatchIn(scalars).get.group(1).toLong
     val avgdl = """"avgdl":\s*([0-9.Ee+-]+)""".r.findFirstMatchIn(scalars).get.group(1).toDouble
-    new CompressedSearchEngine(InvertedIndex.load(spark, s"$outDir/index"), n, avgdl)
+    new CompressedSearchEngine(InvertedIndex.load(spark, s"$outDir/index", io), n, avgdl)
   }
 }

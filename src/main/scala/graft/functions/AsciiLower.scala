@@ -53,6 +53,30 @@ object AsciiLower {
     }
     UTF8String.fromBytes(out)
   }
+
+  /** Query-side mirror of [[lower]] for JVM Strings. Phrase/prefix literals
+    * are compared against `asciiLower(content)`, so they must be normalized
+    * with the SAME ASCII-only transform: Java `toLowerCase` maps some
+    * non-ASCII uppercase chars into [a-z] (Kelvin sign K→k, İ→i̇) and such a
+    * phrase could never match the ASCII-lowered content. */
+  def lowerString(s: String): String = {
+    var i = 0
+    var changed = false
+    while (i < s.length && !changed) {
+      val c = s.charAt(i)
+      changed = c >= 'A' && c <= 'Z'
+      i += 1
+    }
+    if (!changed) return s
+    val out = s.toCharArray
+    i -= 1
+    while (i < out.length) {
+      val c = out(i)
+      if (c >= 'A' && c <= 'Z') out(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(out)
+  }
 }
 
 /** Byte-level ASCII tokenizer as a native codegen'd expression: emits the
@@ -112,6 +136,8 @@ object GraftFunctions {
   val AsciiLowerName = "graft_ascii_lower"
   val AsciiTokensName = "graft_tokens"
   val DecodePostingsName = "graft_decode_postings"
+  val DecodePositionsName = "graft_decode_positions"
+  val DecodeBlocksName = "graft_decode_blocks"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -120,6 +146,12 @@ object GraftFunctions {
       AsciiTokensName, exprs => AsciiTokens(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DecodePostingsName, exprs => DecodePostings(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DecodePositionsName, exprs => DecodePositions(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DecodeBlocksName,
+      exprs => DecodePostingsBlocks(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)),
+      "built-in")
   }
 
   /** `ascii_lower(c)` — caller must have [[register]]ed on the session that
@@ -131,4 +163,15 @@ object GraftFunctions {
 
   /** `graft_decode_postings(c)`: var-byte chunk → array<struct<doc_id,tf,len>>. */
   def decodePostings(c: Column): Column = call_function(DecodePostingsName, c)
+
+  /** `graft_decode_positions(postings, positions)`: occurrence rows
+    * array<struct<doc_id, pos>>. */
+  def decodePositions(postings: Column, positions: Column): Column =
+    call_function(DecodePositionsName, postings, positions)
+
+  /** `graft_decode_blocks(postings, blocks, lo, hi, minw)`: block-selective
+    * decode — only blocks intersecting [lo, hi] with max_weight ≥ minw. */
+  def decodeBlocks(postings: Column, blocks: Column, lo: Column, hi: Column,
+                   minw: Column): Column =
+    call_function(DecodeBlocksName, postings, blocks, lo, hi, minw)
 }

@@ -21,6 +21,15 @@ object PostingCodec {
   val BlockSize = 128
 
   final case class Posting(doc_id: Long, tf: Int, len: Int)
+
+  /** Posting with its in-document token positions (0-based, sorted). The
+    * positions travel in a SEPARATE self-contained byte stream (per posting:
+    * vint(count), then delta-gap varints with prev = -1), stored as its own
+    * parquet column — the BM25 scoring path never reads it (column pruned),
+    * only the phrase adjacency pre-filter does. */
+  final case class PosPosting(doc_id: Long, tf: Int, len: Int,
+                              positions: Array[Int])
+
   final case class BlockMeta(last_doc_id: Long, max_tf: Int,
                              max_weight: Double, offset: Int)
 
@@ -139,6 +148,65 @@ object PostingCodec {
       i += 1
     }
     if (i == count) out else out.take(i)
+  }
+
+  /** Encode sorted, distinct positional postings into
+    * (postingBytes, blockMeta, positionBytes). The postings stream is
+    * byte-identical to [[encode]]'s (decoders of either stream compose);
+    * positions are a parallel stream in the same posting order. */
+  def encodeWithPos(postings: Array[PosPosting], avgdl: Double,
+                    k1: Double, b: Double): (Array[Byte], Array[BlockMeta], Array[Byte]) = {
+    val (bytes, blocks) =
+      encode(postings.map(p => Posting(p.doc_id, p.tf, p.len)), avgdl, k1, b)
+    val pos = new ByteBuf(postings.length * 3)
+    var i = 0
+    while (i < postings.length) {
+      val ps = postings(i).positions
+      pos.writeVLong(ps.length.toLong)
+      var prev = -1L
+      var j = 0
+      while (j < ps.length) {
+        pos.writeVLong(ps(j) - prev)
+        prev = ps(j)
+        j += 1
+      }
+      i += 1
+    }
+    (bytes, blocks, pos.toArray)
+  }
+
+  /** Decode a postings chunk together with its positions stream. */
+  def decodeWithPos(bytes: Array[Byte], posBytes: Array[Byte]): Array[PosPosting] = {
+    val base = decode(bytes)
+    val r = new Reader(posBytes, 0)
+    base.map { p =>
+      val n = r.readVInt()
+      val ps = new Array[Int](n)
+      var prev = -1L
+      var j = 0
+      while (j < n) {
+        prev += r.readVLong()
+        ps(j) = prev.toInt
+        j += 1
+      }
+      PosPosting(p.doc_id, p.tf, p.len, ps)
+    }
+  }
+
+  /** Merge sorted positional runs (mirrors [[mergeRuns]]). */
+  def mergeRunsPos(runs: Seq[Array[PosPosting]]): Array[PosPosting] = {
+    val nonEmpty = runs.filter(_.nonEmpty).sortBy(_.head.doc_id)
+    if (nonEmpty.isEmpty) return Array.empty
+    val disjoint = nonEmpty.sliding(2).forall {
+      case Seq(a, b) => a.last.doc_id < b.head.doc_id
+      case _         => true
+    }
+    if (disjoint) Array.concat(nonEmpty: _*)
+    else {
+      val all = Array.concat(nonEmpty: _*)
+      java.util.Arrays.sort(all, Ordering.by[PosPosting, Long](_.doc_id))
+      all
+    }
   }
 
   /** Merge sorted runs into one sorted array. Fast path: runs whose docId

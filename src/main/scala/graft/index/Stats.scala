@@ -40,10 +40,55 @@ object Stats {
       case other => throw new IllegalArgumentException(s"analyzer: $other")
     }
 
+  /** Positional token stream (doc_id, term, pos, len) — pos is the 0-based
+    * token index in the document's analyzer output, len the document's token
+    * count. This is the index-build input: ONE tokenize pass produces
+    * everything the build needs (len rides in the row — `size(toks)` from
+    * the same materialized array — so there is no docstats join and no
+    * second tokenize), the builder folds tf out of the sorted stream itself
+    * (no (doc,term) groupBy), and positions feed the phrase adjacency
+    * pre-filter. The intermediate select materializes `toks` once per row so
+    * the generator and `size` share it. */
+  def tokensPos(files: DataFrame, analyzer: String = "simple"): DataFrame = {
+    val toksCol: DataFrame => DataFrame = analyzer match {
+      case "simple" =>
+        graft.functions.GraftFunctions.register(files.sparkSession)
+        f => f.select(col("doc_id"),
+          graft.functions.GraftFunctions.asciiTokens(col("content")).as("toks"))
+      case "code" =>
+        val tokUdf = udf((c: String, l: String) => Analyzer.codeTokens(c, l))
+        f => {
+          val withLang =
+            if (f.columns.contains("lang")) f
+            else f.withColumn("lang", lit(""))
+          withLang.select(col("doc_id"),
+            tokUdf(col("content"), col("lang")).as("toks"))
+        }
+      case other => throw new IllegalArgumentException(s"analyzer: $other")
+    }
+    // posexplode_outer + post-filter instead of posexplode: the non-outer
+    // generator implies an array-non-empty predicate that the optimizer
+    // pushes below the projection, re-evaluating the tokenizer at the scan
+    // (a full second tokenize per row). The outer variant emits one null row
+    // for token-less docs, filtered on the generator OUTPUT — tokenize runs
+    // exactly once per row (asserted by PlanAuditSpec).
+    toksCol(files)
+      .select(col("doc_id"), size(col("toks")).as("len"),
+        posexplode_outer(col("toks")))
+      .filter(col("col").isNotNull)
+      .select(col("doc_id"), col("col").as("term"), col("pos"), col("len"))
+  }
+
   /** tf(doc_id, term, tf) — A1. */
   def tf(files: DataFrame, analyzer: String = "simple"): DataFrame =
     tokens(files, analyzer).groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
+
+  /** docstats straight from the token stream (no tf intermediate) — the
+    * build-path variant: a narrow (doc_id) count with map-side partial
+    * aggregation, so its exchange is tiny. */
+  def docstatsFromTokens(tokens: DataFrame): DataFrame =
+    tokens.groupBy("doc_id").agg(count(lit(1)).as("len"))
 
   /** docstats(doc_id, len) — document length in tokens (BM25 length norm). */
   def docstats(tf: DataFrame): DataFrame =

@@ -80,9 +80,15 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity: top-k most similar pairs among docs sharing
-    * at least one shingle. `maxDf` bounds join fanout at scale. */
+    * at least one shingle. `maxDf` caps shingle document frequency BEFORE the
+    * self-join and is ON by default: the pair fanout of a shared shingle is
+    * df², so one stopword-grade shingle (df ~ corpus size) is a task-killing
+    * hot key at 100 TB — capped, the join cost is bounded by Σ min(df,cap)².
+    * High-df shingles carry ~zero near-dup signal (they are the corpus'
+    * boilerplate), so the capped Jaccard is the estimator you actually want
+    * at scale; pass `Long.MaxValue` for the exact all-shingles variant. */
   def ngramJaccardTop(documents: DataFrame, k: Int = 20,
-                      maxDf: Long = Long.MaxValue): DataFrame = {
+                      maxDf: Long = 100L): DataFrame = {
     val dsh = shingles(documents).distinct()
     val filtered =
       if (maxDf == Long.MaxValue) dsh

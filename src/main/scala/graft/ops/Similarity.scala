@@ -62,14 +62,19 @@ object Similarity {
        |    (x, i) -> IF(x > 0, CAST(pow(2, i) AS BIGINT), 0L)),
        |  0L, (acc, b) -> acc + b)""".stripMargin)
 
-  /** Embedding-cosine near-dup: top-k most similar pairs among the first
-    * `capIds` vectors (at scale: LSH-bucket join instead of the id cap). */
-  def nearDupPairs(embeddings: DataFrame, capIds: Long = 200, k: Int = 20): DataFrame = {
-    val e = embeddings.filter(col("vec_id") < capIds)
-      .select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+  /** Embedding-cosine near-dup: top-k most similar pairs among vectors
+    * sharing a sign-LSH bucket. The pair generator is an equi-join on the
+    * bucket key (shuffle hash/sort-merge — never a cartesian): candidate
+    * fanout is Σ per-bucket-count², bounded by collision rates instead of
+    * corpus size, and near-dup vectors (cosine → 1) agree on sign bits so
+    * recall concentrates exactly where the operator looks. `nBits` tunes
+    * the bucket count (raise it as the corpus grows). */
+  def nearDupPairs(embeddings: DataFrame, k: Int = 20, nBits: Int = 8): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      signBucketExpr(nBits).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("ea"), col("eb")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)

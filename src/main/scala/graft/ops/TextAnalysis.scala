@@ -68,10 +68,13 @@ object TextAnalysis {
   }
 
   /** Rolling 8-char-window fingerprint: lexicographic min of the md5 of
-    * every 8-gram (winnowing with window = whole doc). */
+    * every 8-gram (winnowing with window = whole doc). The min is folded
+    * incrementally with `aggregate` — O(1) strings live per row instead of
+    * one md5 string per char position, so an MB-scale file costs the same
+    * memory as a KB one ('g' init sorts after every hex digest). */
   def fingerprint(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
-        expr("""array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
-                |  i -> md5(substring(text, i, 8))))""".stripMargin).as("fp"))
+        expr("""aggregate(sequence(1, greatest(length(text) - 7, 1)), 'g',
+                |  (acc, i) -> least(acc, md5(substring(text, i, 8))))""".stripMargin).as("fp"))
       .orderBy("doc_id")
 }

@@ -36,6 +36,13 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
   private def rowsFor(terms: Seq[String]): DataFrame =
     index.filter(col("term").isin(terms: _*))
 
+  /** Term dictionary for phrase boundary expansion, materialized once per
+    * engine on first phrase query (serving engines are long-lived): the
+    * expansion filter then scans the cached vocab instead of re-reading the
+    * index's term column per query. Vocabulary is tiny next to postings. */
+  private lazy val termDict: DataFrame =
+    index.select("term").distinct().persist()
+
   /** Decoded view of the index: (term, df, doc_id, tf, len) — also the
     * encode∘decode = id roundtrip surface checked against the tf oracle. */
   def decoded(terms: Option[Seq[String]] = None): DataFrame = {
@@ -66,15 +73,99 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
       .agg(countDistinct(col("term")).as("nt"))
       .filter(col("nt") === terms.length).select("doc_id")
 
-  /** P4 phrase candidates: conjunctive tokens + raw substring filter over
-    * the corpus (`dbManager.java:324-341` semantics). */
+  /** Decoded occurrence view (term, doc_id, pos) over the whole index (or a
+    * term subset) — the positions encode∘decode = id roundtrip surface. */
+  def occurrencesAll(terms: Option[Seq[String]] = None): DataFrame =
+    occurrences(terms.fold(index)(ts => rowsFor(ts)))
+
+  /** Occurrence rows (term, doc_id, pos) decoded from index chunk rows —
+    * postings + the parallel positions column, fused decode (codegen'd). */
+  private def occurrences(chunkRows: DataFrame): DataFrame =
+    chunkRows.select(col("term"),
+        explode(graft.functions.GraftFunctions.decodePositions(
+          col("postings"), col("positions"))).as("o"))
+      .select(col("term"), col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+
+  /** Positional adjacency pre-filter for the phrase path — a SOUND superset
+    * of the raw-substring match (never drops a true match), used only to
+    * shrink the candidate set before the authoritative substring verify.
+    *
+    * Soundness: if `asciiLower(content)` contains the phrase substring, the
+    * phrase's internal separators are non-alphanumeric, so content token
+    * boundaries align with them inside the matched span. The span therefore
+    * covers consecutive content tokens w₀ t₂ … tₙ₋₁ wₙ where w₀ ENDS WITH t₁
+    * (the match may start mid-token: "rehash join" contains "hash join") and
+    * wₙ STARTS WITH tₙ ("hash joins"), middle tokens exact. The boundary
+    * slots are expanded from the index's term dictionary (a term-column-only
+    * scan — tiny next to candidate content); if the expansion exceeds
+    * [[CompressedSearchEngine.MaxExpandTerms]], returns None and the caller
+    * keeps the plain candidate set (both plans are exact — this is a
+    * cost-based choice between them).
+    *
+    * Evaluation is one union of the slots' occurrence rows normalized to the
+    * would-be match start (pos − slot), then the same count-distinct
+    * reduction as candidatesAll on (doc_id, start): shuffle volume is the
+    * postings of the query terms, never candidate content — the 100 TB-safe
+    * shape (the full-content substring scan over conjunctive candidates was
+    * round 1's one scale-killer).
+    */
+  def adjacencyCandidates(phraseToks: Seq[String]): Option[DataFrame] = {
+    val n = phraseToks.length
+    if (n < 2) return None // single token: candidatesAll already exact-narrow
+    val t1 = phraseToks.head
+    val tn = phraseToks.last
+    val max = CompressedSearchEngine.MaxExpandTerms
+    val exp = termDict
+      .filter(endswith(col("term"), lit(t1)) || startswith(col("term"), lit(tn)))
+      .limit(max + 1)
+      .collect().map(_.getString(0))
+    if (exp.length > max) return None
+    val s1 = (t1 +: exp.filter(_.endsWith(t1)).toSeq).distinct
+    val sn = (tn +: exp.filter(_.startsWith(tn)).toSeq).distinct
+    val slots: Seq[Seq[String]] =
+      s1 +: phraseToks.slice(1, n - 1).map(Seq(_)) :+ sn
+    val slotDfs = slots.zipWithIndex.map { case (ts, i) =>
+      occurrences(rowsFor(ts))
+        .select(col("doc_id"), (col("pos") - i).as("start"), lit(i).as("slot"))
+    }
+    Some(slotDfs.reduce(_ unionByName _)
+      .groupBy("doc_id", "start")
+      .agg(countDistinct(col("slot")).as("ns"))
+      .filter(col("ns") === n)
+      .select("doc_id").distinct())
+  }
+
+  /** P4 phrase candidates: conjunctive tokens, optionally narrowed by the
+    * positional adjacency pre-filter, verified by the raw substring filter
+    * over the corpus (`dbManager.java:324-341` semantics — the verify is
+    * authoritative; adjacency only prunes, so both plans are exact).
+    *
+    * Cost-based plan choice (same crossover logic as the MaxScore gate):
+    * below [[CompressedSearchEngine.PhraseGateDocs]] docs the substring
+    * verify over the conjunctive candidates is a bounded content scan and
+    * the adjacency pass's extra shuffle stages cost more than they save
+    * (measured: 0.7 s vs 2.4 s per phrase at 6·10^4 docs); above it the
+    * candidate content scan grows with the corpus (the one scale-killer of
+    * the round-1 query path) while adjacency shuffles only query-term
+    * postings. The adjacency step applies only under the "simple" analyzer,
+    * whose token positions align with content substrings (the code
+    * analyzer's subtoken expansion breaks alignment). */
   def phraseCandidates(phrase: String, files: DataFrame,
-                       analyzer: String = "simple"): DataFrame = {
+                       analyzer: String = "simple",
+                       forcePositional: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(files.sparkSession)
-    val cand = candidatesAll(graft.analyze.Analyzer.queryTokens(analyzer, phrase).distinct)
+    val ordered = graft.analyze.Analyzer.queryTokens(analyzer, phrase)
+    val cand0 = candidatesAll(ordered.distinct)
+    val usePositional = analyzer == "simple" &&
+      (forcePositional || nDocs >= CompressedSearchEngine.PhraseGateDocs)
+    val cand =
+      if (usePositional)
+        adjacencyCandidates(ordered)
+          .fold(cand0)(adj => cand0.join(adj, Seq("doc_id"), "left_semi"))
+      else cand0
     files.join(cand, Seq("doc_id"), "left_semi")
       .filter(contains(graft.functions.GraftFunctions.asciiLower(col("content")),
-        lit(phrase.toLowerCase)))
+        lit(graft.functions.AsciiLower.lowerString(phrase))))
       .select("doc_id")
   }
 
@@ -85,16 +176,20 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
   }
 
   /** Full query lifecycle over the persisted index + corpus (serving path):
-    * parse → candidates → BM25 → top-k, mirroring SearchEngine.search. */
+    * parse → candidates → BM25 → top-k, mirroring SearchEngine.search.
+    * `forcePositional` forces the adjacency pre-filter below the phrase
+    * gate (tests/bench exercise both exact plans). */
   def search(raw: String, files: DataFrame, k: Int = 10,
-             analyzer: String = "simple"): DataFrame = {
+             analyzer: String = "simple",
+             forcePositional: Boolean = false): DataFrame = {
     def toks(s: String) = graft.analyze.Analyzer.queryTokens(analyzer, s).distinct
+    def phr(p: String) = phraseCandidates(p, files, analyzer, forcePositional)
     QueryParser.parse(raw) match {
       case Tokens(text) => scoreCand(toks(text), None, k)
-      case Phrase(p)    => scoreCand(toks(p), Some(phraseCandidates(p, files, analyzer)), k)
+      case Phrase(p)    => scoreCand(toks(p), Some(phr(p)), k)
       case Bool(op, p1, p2) =>
-        val c1 = phraseCandidates(p1, files, analyzer)
-        val c2 = phraseCandidates(p2, files, analyzer)
+        val c1 = phr(p1)
+        val c2 = phr(p2)
         val cand = op match {
           case "and" => c1.intersect(c2)
           case "or"  => c1.union(c2).distinct()
@@ -105,13 +200,34 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
     }
   }
 
-  /** MaxScore-pruned top-k — rank-identical to [[searchTopK]].
+  /** O2: paginated serving — reference semantics
+    * (`QueryProcessor/QueryProcessor.java:131-139`): 1-based page,
+    * fromIndex = (page-1)·limit, pages past the end are empty. */
+  def searchPage(raw: String, files: DataFrame, page: Int, limit: Int,
+                 analyzer: String = "simple"): DataFrame = {
+    require(page >= 1 && limit >= 1, s"page/limit must be >= 1: $page/$limit")
+    search(raw, files, page * limit, analyzer).offset((page - 1) * limit)
+  }
+
+  /** MaxScore + block-max-WAND pruned top-k — rank-identical to
+    * [[searchTopK]].
     *
     * Three Spark jobs total (meta collect, θ pass, pruned rescore): the
     * candidate docId range comes from the essential terms' chunk metadata
     * gathered in the first collect (a superset of the exact candidate
     * min/max), not a separate action, and the query terms' index rows are
     * persisted across the passes so the index parquet is scanned once.
+    *
+    * Pruning acts at three granularities:
+    *  - term (MaxScore): non-essential terms never generate candidates,
+    *  - chunk: rescore skips chunks outside the candidates' doc range,
+    *  - block (block-max WAND, north rule): candidate generation decodes a
+    *    128-posting block of term t only if its best possible total score
+    *    `idf_t · max_weight(B) + Σ_{t'≠t} ub(t')` reaches θ — a doc whose
+    *    every appearance lies in pruned blocks is bounded below θ by the
+    *    same inequality, so skipping is lossless; the rescore decodes only
+    *    blocks intersecting [lo, hi] (max_weight bound 0 there: every
+    *    contribution of a surviving candidate must count).
     *
     * Adaptive gate: below [[CompressedSearchEngine.PruneGateDocs]] docs the
     * decode work a prune could save is smaller than the two extra adaptive
@@ -134,15 +250,18 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
           r.getLong(3), r.getLong(4)))
       if (meta.isEmpty) return searchTopK(terms, k)
-      val ub = meta.map { case (t, df, mw, _, _) =>
-        t -> (BM25.idfValue(nDocs, df) * mw)
+      val idf = meta.map { case (t, df, _, _, _) =>
+        t -> BM25.idfValue(nDocs, df)
       }.toMap
+      val ub = meta.map { case (t, _, mw, _, _) => t -> (idf(t) * mw) }.toMap
       // (2) θ: k-th exact score of the rarest term (a lower bound on the
       // final k-th score), minus a safety margin for the display rounding.
       val rarest = meta.minBy(_._2)._1
       val kth = scoreDecoded(decodedFrom(
         rows.filter(col("term") === rarest)), k).collect()
-      val theta = if (kth.length < k) 0.0 else kth.last.getDouble(1) - 1e-3
+      if (kth.length < k)
+        return scoreDecoded(decodedFrom(rows), k) // θ = 0: nothing prunable
+      val theta = kth.last.getDouble(1) - 1e-3
       // (3) essential terms: ascending by ub, drop the maximal prefix whose
       // cumulative ub stays strictly below θ — docs appearing ONLY in that
       // prefix provably cannot reach the top-k.
@@ -150,19 +269,25 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
       val cum = asc.scanLeft(0.0)((s, t) => s + ub(t)).tail
       val essential = asc.zip(cum).collect { case (t, c) if c >= theta => t }
       val essTerms = if (essential.isEmpty) Seq(asc.last) else essential.toSeq
-      if (essTerms.length == terms.distinct.length)
-        return scoreDecoded(decodedFrom(rows), k) // nothing pruned
       val essSet = essTerms.toSet
       // candidate docId range from essential chunk metadata (no extra job)
       val lo = meta.collect { case (t, _, _, l, _) if essSet(t) => l }.min
       val hi = meta.collect { case (t, _, _, _, h) if essSet(t) => h }.max
-      // (4) candidates: docs present in at least one essential term;
-      // rescore them over all terms, skipping chunks outside [lo, hi]
-      // (block-range skip via chunk metadata).
-      val cand = decodedFrom(rows.filter(col("term").isin(essTerms: _*)))
+      // (4) candidates: docs in at least one essential term's SURVIVING
+      // blocks (block-max WAND bound τ_t below); rescore them over all
+      // terms, decoding only blocks that intersect [lo, hi].
+      val ubSum = ub.values.sum
+      def tau(t: String): Double = (theta - (ubSum - ub(t))) / idf(t)
+      val minwCand = essTerms.tail
+        .foldLeft(when(col("term") === essTerms.head, lit(tau(essTerms.head)))) {
+          (acc, t) => acc.when(col("term") === t, lit(tau(t)))
+        }.otherwise(lit(0.0))
+      val cand = decodedBlocksFrom(rows.filter(col("term").isin(essTerms: _*)),
+          lit(Long.MinValue), lit(Long.MaxValue), minwCand)
         .select("doc_id").distinct()
-      val decodedRows = decodedFrom(
-          rows.filter(col("last_doc_id") >= lo && col("first_doc_id") <= hi))
+      val decodedRows = decodedBlocksFrom(
+          rows.filter(col("last_doc_id") >= lo && col("first_doc_id") <= hi),
+          lit(lo), lit(hi), lit(0.0))
         .join(cand, Seq("doc_id"), "left_semi")
       scoreDecoded(decodedRows, k)
     } finally rows.unpersist()
@@ -174,6 +299,20 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
         explode(decodeCol(col("postings"))).as("p"))
       .select(col("term"), col("df"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"), col("p.len").as("len"))
+
+  /** Block-selective variant of [[decodedFrom]]: decodes only blocks whose
+    * doc range intersects [lo, hi] and whose max_weight ≥ minw (the block-max
+    * skip-pointer read path, graft.functions.DecodePostingsBlocks). */
+  private def decodedBlocksFrom(chunkRows: DataFrame, lo: org.apache.spark.sql.Column,
+                                hi: org.apache.spark.sql.Column,
+                                minw: org.apache.spark.sql.Column): DataFrame = {
+    graft.functions.GraftFunctions.register(chunkRows.sparkSession)
+    chunkRows.select(col("term"), col("df"),
+        explode(graft.functions.GraftFunctions.decodeBlocks(
+          col("postings"), col("blocks"), lo, hi, minw)).as("p"))
+      .select(col("term"), col("df"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"), col("p.len").as("len"))
+  }
 }
 
 object CompressedSearchEngine {
@@ -181,4 +320,17 @@ object CompressedSearchEngine {
     * driver round-trips (see [[CompressedSearchEngine.searchPruned]]). */
   val PruneGateDocs: Long =
     sys.env.get("SPARK_GRAFT_PRUNE_GATE").map(_.toLong).getOrElse(10_000_000L)
+
+  /** Dictionary-expansion cap for the phrase adjacency pre-filter: if a
+    * boundary token expands to more terms than this (e.g. a one-letter
+    * token), the pre-filter is skipped and the plain candidate-set plan runs
+    * (both plans are exact). */
+  val MaxExpandTerms: Int =
+    sys.env.get("SPARK_GRAFT_MAX_EXPAND").map(_.toInt).getOrElse(1000)
+
+  /** Corpus size above which the phrase path switches from the
+    * substring-scan-over-candidates plan to the positional adjacency
+    * pre-filter (see [[CompressedSearchEngine.phraseCandidates]]). */
+  val PhraseGateDocs: Long =
+    sys.env.get("SPARK_GRAFT_PHRASE_GATE").map(_.toLong).getOrElse(10_000_000L)
 }

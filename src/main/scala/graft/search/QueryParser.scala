@@ -7,7 +7,10 @@ package graft.search
   *  - a single `"phrase"`                                        → [[Phrase]]
   *  - anything else: bag of tokens                               → [[Tokens]]
   *
-  * The raw query is lowercased + trimmed first (reference `:29`).
+  * The raw query is lowercased + trimmed first (reference `:29`) — with the
+  * engine's ASCII-only lower (the same transform applied to content), so a
+  * phrase literal can never diverge from the content normalization
+  * (graft.functions.AsciiLower.lowerString).
   */
 sealed trait QueryPlan
 final case class Tokens(text: String) extends QueryPlan
@@ -19,7 +22,7 @@ object QueryParser {
   private val PhraseRe = """^\s*"([^"]+)"\s*$""".r
 
   def parse(raw: String): QueryPlan = {
-    val q = raw.trim.toLowerCase
+    val q = graft.functions.AsciiLower.lowerString(raw.trim)
     q match {
       case BoolRe(p1, op, p2) => Bool(op, p1, p2)
       case PhraseRe(p)        => Phrase(p)

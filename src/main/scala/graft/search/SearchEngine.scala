@@ -49,12 +49,18 @@ final class SearchEngine(val t: IndexTables, val analyzer: String = "simple") {
     val cand = candidatesAll(toks(phrase))
     t.files.join(cand, Seq("doc_id"), "left_semi")
       .filter(contains(graft.functions.GraftFunctions.asciiLower(col("content")),
-        lit(phrase.toLowerCase)))
+        lit(graft.functions.AsciiLower.lowerString(phrase))))
       .select("doc_id")
   }
 
   /** Score `candidates` (or all matching docs if None) against `terms`,
-    * returning top-k (doc_id, score) with the deterministic tiebreak. */
+    * returning top-k (doc_id, score) with the deterministic tiebreak.
+    *
+    * ORACLE BASELINE, not the serving path: this joins the full `docstats`
+    * table on doc_id — a corpus-sized shuffle at scale. Serve from
+    * [[CompressedSearchEngine]], whose postings carry `len` inline (no
+    * docstats join); this class exists as the simplest provably-correct
+    * mirror of the DuckDB oracle. */
   def scoreTopK(terms: Seq[String], candidates: Option[DataFrame], k: Int): DataFrame = {
     if (terms.isEmpty) return t.files.sparkSession.emptyDataFrame
       .withColumn("doc_id", lit(0L)).withColumn("score", lit(0.0)).limit(0)
@@ -93,6 +99,17 @@ final class SearchEngine(val t: IndexTables, val analyzer: String = "simple") {
       // only the included phrase's tokens (design decision, SURVEY.md §7.4).
       val terms = if (op == "not") toks(p1) else (toks(p1) ++ toks(p2)).distinct
       scoreTopK(terms, Some(cand), k)
+  }
+
+  /** O2: paginated results — reference semantics
+    * (`QueryProcessor/QueryProcessor.java:131-139`): 1-based `page`,
+    * fromIndex = (page-1)·limit, a page past the end of the result list is
+    * empty. Plans as a single TakeOrderedAndProject of page·limit rows with
+    * the offset applied in the same limit node — no global sort, and the
+    * driver never holds more than the requested page's prefix. */
+  def searchPage(raw: String, page: Int, limit: Int): DataFrame = {
+    require(page >= 1 && limit >= 1, s"page/limit must be >= 1: $page/$limit")
+    search(raw, page * limit).offset((page - 1) * limit)
   }
 
   /** Search result hydrated with display columns (J2/J3: join AFTER top-k so

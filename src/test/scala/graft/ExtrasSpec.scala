@@ -45,22 +45,64 @@ class ExtrasSpec extends SparkSpec {
     assert(streamed.exists(_.getLong(1) > 0))
   }
 
-  test("suggestions: prefix filter, count-desc order, limit") {
-    val got = Extras.suggest(Extras.queryLog(t.termstats), "s", 3).collect()
+  test("query log: appends accumulate, counts key on raw query, suggestions " +
+      "prefix-match the normalized form") {
+    import graft.search.QueryLog
+    val path = "/tmp/graft_querylog_spec"
+    val log = QueryLog.replay(spark, path)
+    // appends accumulated across three batches; blank/empty-normalized dropped
+    val expectedRows = QueryLog.ReplayBatches.flatten
+      .count(q => q.trim.nonEmpty && QueryLog.normalize(q).nonEmpty)
+    assert(log.count() === expectedRows)
+    val counts = QueryLog.counts(log).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // raw query is the counter key (reference keys _id on the raw string):
+    // "Spark SQL" and "spark sql" count separately despite equal normalized
+    assert(counts("Spark SQL") === 2L)
+    assert(counts("spark sql") === 3L)
+    val got = QueryLog.suggest(log, "S", 3).collect()
     assert(got.length === 3)
-    assert(got.forall(_.getString(0).startsWith("s")))
+    // normalized prefix match (case-insensitive via ascii lower of prefix)
+    assert(got.forall(r => QueryLog.normalize(r.getString(0)).startsWith("s")))
     assert(got.map(_.getLong(1)).toSeq === got.map(_.getLong(1)).toSeq.sorted.reverse)
   }
 
-  test("snippets start at the first query-term occurrence") {
+  test("pagination: pages tile the top-k, pages past the end are empty") {
     val e = new SearchEngine(t)
-    val snips = Extras.withSnippets(e.search("merge sort window"), t.files, "merge")
-      .collect()
-    assert(snips.nonEmpty)
-    assert(snips.forall { r =>
-      val s = r.getString(2)
-      s.toLowerCase.startsWith("merge") || !r.getString(2).toLowerCase.contains("merge")
-    })
+    val all = e.search("merge sort window", 9).collect().toSeq
+    val paged = (1 to 3).flatMap(p => e.searchPage("merge sort window", p, 3).collect())
+    assert(paged === all)
+    assert(e.searchPage("merge sort window", 1000, 10).collect().isEmpty)
+  }
+
+  test("snippets: first matching paragraph, 100-word truncation, fallback " +
+      "(reference SnippetGenerator semantics vs a direct Scala mirror)") {
+    val e = new SearchEngine(t)
+    val contents = t.files.select("doc_id", "content").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def expected(id: Long, needles: Seq[String], maxWords: Int = 100): String = {
+      val c = contents(id)
+      val chosen = c.split("\n", -1)
+        .find(p => needles.forall(n => p.toLowerCase.contains(n)))
+        .getOrElse(c)
+      val words = chosen.split("\\s+").filter(_.nonEmpty)
+      if (words.length <= maxWords) chosen
+      else words.take(maxWords).mkString(" ") + "..."
+    }
+    val q1 = "\"merge sort\" AND \"table scan\""
+    val got = Extras.withSnippets(e.search(q1), t.files, q1).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getString(2) === expected(r.getLong(0),
+        Seq("merge sort", "table scan")), s"doc ${r.getLong(0)}")
+    }
+    val got2 = Extras.withSnippets(e.search("merge sort window"), t.files,
+      "merge sort window").collect()
+    assert(got2.nonEmpty)
+    got2.foreach { r =>
+      assert(r.getString(2) === expected(r.getLong(0),
+        Seq("merge sort window")), s"doc ${r.getLong(0)}")
+    }
   }
 
   test("phrase counts match manual substring counting") {

@@ -38,7 +38,8 @@ class PlanAuditSpec extends SparkSpec {
   test("compressed index scan pushes the query-term IN filter") {
     val idxPath = "/tmp/graft_planspec_index"
     InvertedIndex.write(
-      InvertedIndex.build(t.tf, t.docstats, t.nDocs, t.avgdl), idxPath)
+      InvertedIndex.build(graft.index.Stats.tokensPos(Corpus.files(spark, sf)),
+        t.nDocs, t.avgdl), idxPath)
     val ce = new CompressedSearchEngine(
       InvertedIndex.load(spark, idxPath), t.nDocs, t.avgdl)
     val p = plan(ce.searchTopK(Seq("merge", "sort")))
@@ -46,15 +47,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("segment build: one (term, salt) repartition, docstats broadcast-joined") {
-    val p = plan(InvertedIndex.segments(t.tf, t.docstats, t.nDocs))
+  test("segment build: one (term, salt) repartition, single tokenize, no join") {
+    val p = plan(InvertedIndex.segments(
+      graft.index.Stats.tokensPos(Corpus.files(spark, sf)), t.nDocs))
     // exactly one explicit repartition — the salted, skew-aware shuffle
     val reparts = "REPARTITION_BY_COL".r.findAllIn(p).length
     assert(reparts == 1, s"expected 1 REPARTITION_BY_COL, got $reparts in:\n$p")
     assert(p.contains("hashpartitioning(term"), p)
     assert(p.contains("Sort [term"), p)
-    // doc lengths reach the postings via a broadcast join, not a shuffle
-    assert(p.contains("BroadcastHashJoin [doc_id"), p)
+    // len rides in the token row: the build plan has NO join at all
+    assert(!p.contains("Join"), p)
+    // and tokenizes each row exactly once (the array is materialized once —
+    // not re-evaluated for size(), the generator, or a pushed-down
+    // non-empty filter at the scan)
+    val tokenizes = "asciitokens".r.findAllIn(p).length
+    assert(tokenizes == 1, s"expected 1 asciitokens eval, got $tokenizes in:\n$p")
+  }
+
+  test("near-dup pairs plan is an LSH-bucket equi-join, never a cartesian") {
+    val p = plan(ops.Similarity.nearDupPairs(Corpus.embeddings(spark, sf)))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bucket"), p)
   }
 
   test("candidate membership is a semi join, not a materialized set") {

@@ -85,13 +85,41 @@ class CheckpointedBuildSpec extends SparkSpec {
       mb.map(m => (m.partition_id, m.snapshot_id, m.rows, m.postings)))
   }
 
+  test("resume invalidates buckets whose input slice changed (snapshot check)") {
+    val dir = tmpDir("stale")
+    CheckpointedBuild.run(files, dir, nBuckets = 4)
+    val msBefore = CheckpointedBuild.readManifests(dir)
+    // the corpus changes under the checkpoint dir: one doc's content edited
+    val editedId = files.agg(min("doc_id")).head().getLong(0)
+    val filesB = files
+      .withColumn("content",
+        when(col("doc_id") === editedId,
+          concat(col("content"), lit(" zzstalechange"))).otherwise(col("content")))
+      .withColumn("sha", sha2(col("content"), 256))
+    // resuming into the same dir must rebuild the touched bucket, not skip it
+    CheckpointedBuild.run(filesB, dir, nBuckets = 4)
+    val freshB = tmpDir("staleFresh")
+    CheckpointedBuild.run(filesB, freshB, nBuckets = 4)
+    val got = CheckpointedBuild.load(spark, dir)
+      .decoded(None).orderBy("term", "doc_id").collect().toSeq
+    val want = CheckpointedBuild.load(spark, freshB)
+      .decoded(None).orderBy("term", "doc_id").collect().toSeq
+    assert(got === want)
+    // the edited doc's bucket carries a new snapshot id; others unchanged
+    val msAfter = CheckpointedBuild.readManifests(dir)
+    val changed = msBefore.zip(msAfter).filter { case (a, b) =>
+      a.snapshot_id != b.snapshot_id }
+    assert(changed.length === 1)
+  }
+
   test("checkpointed search equals direct in-memory build") {
     val out = tmpDir("eq")
     CheckpointedBuild.run(files, out, nBuckets = 3)
     val ck = CheckpointedBuild.load(spark, out)
     val t = graft.index.IndexTables.build(files)
     val direct = new graft.search.CompressedSearchEngine(
-      graft.index.InvertedIndex.build(t.tf, t.docstats, t.nDocs, t.avgdl),
+      graft.index.InvertedIndex.build(graft.index.Stats.tokensPos(files),
+        t.nDocs, t.avgdl),
       t.nDocs, t.avgdl)
     val got = ck.searchTopK(Seq("merge", "sort", "window"), 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq

@@ -22,7 +22,8 @@ class CompressedIndexSpec extends SparkSpec {
   private def build(seed: Int, nDocs: Int, saltBuckets: Int) = {
     val files = corpus(seed, nDocs).toDF("doc_id", "content")
     val t = IndexTables.build(files, "simple")
-    val idx = InvertedIndex.build(t.tf, t.docstats, t.nDocs, t.avgdl, saltBuckets)
+    val idx = InvertedIndex.build(Stats.tokensPos(files),
+      t.nDocs, t.avgdl, saltBuckets)
     (t, new CompressedSearchEngine(idx, t.nDocs, t.avgdl))
   }
 
@@ -69,24 +70,87 @@ class CompressedIndexSpec extends SparkSpec {
     }
   }
 
-  test("chunking splits long posting lists and preserves order") {
+  test("block-max WAND pruning rank-identical at multi-block scale") {
+    // 2000 docs × up to 62 tokens → ~15 blocks per common term, and the
+    // 20× doc-length spread gives real max_weight variance across blocks,
+    // so the τ bound actually skips blocks (rank-identity is the contract)
+    val (_, ce) = build(17, 2000, 8)
+    for (terms <- Seq(Seq("merge", "rareterm"), Seq("merge", "sort", "window"),
+        Seq("dup", "rareterm", "spark"), Seq("hash"))) {
+      val got = ce.searchPruned(terms, 10, force = true).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = ce.searchTopK(terms, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === want, s"terms $terms")
+    }
+  }
+
+  test("block-selective decode == block-filtered full decode") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(23)
+    var doc = 0L
+    val ps = Array.fill(500) {
+      doc += 1 + rnd.nextInt(5)
+      PostingCodec.Posting(doc, 1 + rnd.nextInt(9), 10 + rnd.nextInt(90))
+    }
+    val (bytes, blocks) = PostingCodec.encode(ps, avgdl = 40.0, k1 = 1.2, b = 0.75)
+    val blocksAd = new GenericArrayData(blocks.map(b =>
+      new GenericInternalRow(Array[Any](b.last_doc_id, b.max_tf, b.max_weight,
+        b.offset)): Any))
+    def expected(lo: Long, hi: Long, minw: Double): Seq[PostingCodec.Posting] = {
+      val grouped = ps.grouped(PostingCodec.BlockSize).toSeq
+      var prevLast = -1L
+      grouped.zip(blocks).flatMap { case (blockPs, meta) =>
+        val keep = meta.last_doc_id >= lo && prevLast < hi && meta.max_weight >= minw
+        prevLast = meta.last_doc_id
+        if (keep) blockPs else Nil
+      }
+    }
+    for ((lo, hi, minw) <- Seq(
+        (Long.MinValue, Long.MaxValue, 0.0),
+        (ps(100).doc_id, ps(300).doc_id, 0.0),
+        (Long.MinValue, Long.MaxValue, blocks.map(_.max_weight).max - 1e-9),
+        (ps(450).doc_id, Long.MaxValue, 1.0))) {
+      val got = graft.functions.DecodePostingsBlocks
+        .decode(bytes, blocksAd, lo, hi, minw)
+      val gotPs = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 3)
+        PostingCodec.Posting(r.getLong(0), r.getInt(1), r.getInt(2))
+      }
+      assert(gotPs === expected(lo, hi, minw), s"case ($lo, $hi, $minw)")
+    }
+  }
+
+  test("chunking splits long posting lists and preserves order + positions") {
     // force tiny chunks by building manually with a small chunk size
     val avgdl = 10.0
     val agg = new MergeAgg(avgdl, 1.2, 0.75, chunkSize = 64)
-    val ps = (0L until 300L).map(i => PostingCodec.Posting(i * 3, 1 + (i % 5).toInt, 30))
+    val pps = (0L until 300L).map { i =>
+      val tf = 1 + (i % 5).toInt
+      PostingCodec.PosPosting(i * 3, tf, 30, Array.tabulate(tf)(j => j * 2 + (i % 7).toInt))
+    }
     val segBuf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    val posBuf = scala.collection.mutable.ArrayBuffer.empty[Byte]
     var prev = -1L
-    ps.foreach { p =>
+    pps.foreach { p =>
       PostingCodec.writeVLong(segBuf, p.doc_id - prev)
       PostingCodec.writeVLong(segBuf, p.tf.toLong)
       PostingCodec.writeVLong(segBuf, p.len.toLong)
       prev = p.doc_id
+      PostingCodec.writeVLong(posBuf, p.positions.length.toLong)
+      var pp = -1L
+      p.positions.foreach { q => PostingCodec.writeVLong(posBuf, q - pp); pp = q }
     }
-    val tc = agg.finish(scala.collection.mutable.ArrayBuffer(segBuf.toArray))
+    val tc = agg.finish(scala.collection.mutable.ArrayBuffer(
+      (segBuf.toArray, posBuf.toArray)))
     assert(tc.df === 300)
     assert(tc.chunks.length === 5) // ceil(300/64)
     val all = tc.chunks.flatMap(c => PostingCodec.decode(c.postings))
-    assert(all.toSeq === ps)
+    assert(all.toSeq === pps.map(p => PostingCodec.Posting(p.doc_id, p.tf, p.len)))
+    val allPos = tc.chunks.flatMap(c =>
+      PostingCodec.decodeWithPos(c.postings, c.positions))
+    assert(allPos.map(_.positions.toSeq).toSeq === pps.map(_.positions.toSeq))
     assert(tc.chunks.forall(c => c.first_doc_id <= c.last_doc_id))
   }
 }
