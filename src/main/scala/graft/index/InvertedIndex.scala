@@ -27,6 +27,12 @@ final case class TermChunks(df: Long, chunks: Array[IndexChunk])
 final case class SegmentRow(term: String, salt: Long, seg: Array[Byte],
                             pos: Array[Byte], n: Long)
 
+/** Stage-0.5 output row: one compacted posting with its pre-encoded
+  * positions record (vint(tf) + delta varints, prev = -1 — the final wire
+  * format, byte-copied into segment runs, never re-encoded). */
+final case class PostingRow(term: String, doc_id: Long, tf: Int, len: Int,
+                            pos: Array[Byte])
+
 /** Stage 2: merge one term's segment runs (sorted, docId-range-disjoint by
   * construction → concatenation fast path) into block-max chunks. */
 final class MergeAgg(avgdl: Double, k1: Double, b: Double, chunkSize: Int)
@@ -86,17 +92,78 @@ object InvertedIndex {
     mergeSegments(segments(tokens, nDocs, saltBuckets), avgdl)
   }
 
-  /** Stage 1: salted partial posting runs (term, salt, seg, pos, n).
+  /** Stage 0.5 (narrow — no exchange): compact the positional token stream
+    * into one row per POSTING, `(term, doc_id, tf, len, pos_bytes)`, before
+    * anything shuffles. A document's tokens never span input partitions (the
+    * tokenizer explodes per document row), so an in-partition sort on
+    * (doc_id, term, pos) + one linear scan is an EXACT (doc, term)
+    * aggregation with no hash table, no per-key JVM objects, and no
+    * exchange. This is the map-side combine the raw token stream otherwise
+    * lacks: without it the wide shuffle carries one row per token — ×tf the
+    * posting count (measured 8× on the bench corpus, 640 MB vs ~90 MB per
+    * bucket) — which is exactly the blow-up that made the positional build
+    * regress. Positions leave here already in their final varbyte wire
+    * format; every later stage byte-copies them. */
+  private def compactPostings(tokens: DataFrame)(implicit spark: SparkSession) = {
+    import spark.implicits._
+    tokens
+      .select(col("doc_id"), col("term"), col("pos").cast("int").as("pos"),
+        col("len").cast("int").as("len"))
+      .sortWithinPartitions("doc_id", "term", "pos")
+      .as[(Long, String, Int, Int)]
+      .mapPartitions { rows =>
+        new Iterator[PostingRow] {
+          private var pending: Option[(Long, String, Int, Int)] = None
+          private val posBuf = new PostingCodec.ByteBuf(64)
+          private var posAcc = new Array[Int](64)
+          def hasNext: Boolean = pending.isDefined || rows.hasNext
+          def next(): PostingRow = {
+            var cur = pending.getOrElse(rows.next())
+            pending = None
+            val docId = cur._1
+            val term = cur._2
+            val len = cur._4
+            var nPos = 0
+            def addPos(p: Int): Unit = {
+              if (nPos == posAcc.length)
+                posAcc = java.util.Arrays.copyOf(posAcc, posAcc.length * 2)
+              posAcc(nPos) = p
+              nPos += 1
+            }
+            addPos(cur._3)
+            var done = false
+            while (!done) {
+              if (rows.hasNext) {
+                val n = rows.next()
+                if (n._1 == docId && n._2 == term) addPos(n._3)
+                else { pending = Some(n); done = true }
+              } else done = true
+            }
+            posBuf.reset()
+            posBuf.writeVLong(nPos.toLong)
+            var prev = -1L
+            var j = 0
+            while (j < nPos) {
+              posBuf.writeVLong(posAcc(j) - prev)
+              prev = posAcc(j)
+              j += 1
+            }
+            PostingRow(term, docId, nPos, len, posBuf.toArray)
+          }
+        }
+      }
+  }
+
+  /** Stage 1: salted posting runs (term, salt, seg, pos, n).
     *
-    * Implemented as ONE Tungsten shuffle keyed by (term, salt) followed by an
-    * in-partition sort and a streaming, zero-buffering varbyte encoder in
-    * `mapPartitions` — the "salted, skew-aware shuffle keyed by term" of the
-    * north rule. Sort-based (spillable, off-heap UnsafeRow) rather than an
-    * object hash aggregate: no per-row JVM objects, so the stage scales with
-    * cores instead of GC. Salt = doc_id range bucket, so runs are
-    * docId-disjoint and stage 2 merges by concatenation. Term frequency and
-    * the position stream are accumulated inline from the sorted run (the
-    * only per-row state is the current document's position buffer).
+    * Compacted postings (stage 0.5) flow through ONE Tungsten shuffle keyed
+    * by (term, salt) — the "salted, skew-aware shuffle keyed by term" of the
+    * north rule — then an in-partition sort and a streaming, zero-buffering
+    * varbyte encoder in `mapPartitions`. Sort-based (spillable, off-heap
+    * UnsafeRow) rather than an object hash aggregate: no per-row JVM
+    * objects, so the stage scales with cores instead of GC. Salt = doc_id
+    * range bucket, so runs are docId-disjoint and stage 2 merges by
+    * concatenation. Position records are byte-appended, never re-encoded.
     *
     * Replaces the reference's in-heap ConcurrentHashMap index build
     * (`Indexer/TextIndexer.java:16, 50-94`) and per-(term,doc) Mongo upserts
@@ -108,22 +175,20 @@ object InvertedIndex {
     */
   def segments(tokens: DataFrame, nDocs: Long,
                saltBuckets: Int = 32): DataFrame = {
-    val spark = tokens.sparkSession
+    implicit val spark: SparkSession = tokens.sparkSession
     import spark.implicits._
     val bucketWidth = math.max(1L, nDocs / saltBuckets)
-    tokens
+    compactPostings(tokens)
       .select(col("term"), (col("doc_id") / bucketWidth).cast("long").as("salt"),
-        col("doc_id"), col("pos").cast("int").as("pos"),
-        col("len").cast("int").as("len"))
+        col("doc_id"), col("tf"), col("len"), col("pos"))
       .repartition(col("term"), col("salt"))
-      .sortWithinPartitions("term", "salt", "doc_id", "pos")
-      .as[(String, Long, Long, Int, Int)]
+      .sortWithinPartitions("term", "salt", "doc_id")
+      .as[(String, Long, Long, Int, Int, Array[Byte])]
       .mapPartitions { rows =>
         new Iterator[SegmentRow] {
-          private var pending: Option[(String, Long, Long, Int, Int)] = None
+          private var pending: Option[(String, Long, Long, Int, Int, Array[Byte])] = None
           private val buf = new PostingCodec.ByteBuf(1 << 12)
           private val posBuf = new PostingCodec.ByteBuf(1 << 12)
-          private var posAcc = new Array[Int](64)
           def hasNext: Boolean = pending.isDefined || rows.hasNext
           def next(): SegmentRow = {
             var cur = pending.getOrElse(rows.next())
@@ -134,43 +199,20 @@ object InvertedIndex {
             posBuf.reset()
             var prevDoc = -1L
             var nPostings = 0L
-            var docId = cur._3
-            var len = cur._5
-            var nPos = 0
-            def addPos(p: Int): Unit = {
-              if (nPos == posAcc.length)
-                posAcc = java.util.Arrays.copyOf(posAcc, posAcc.length * 2)
-              posAcc(nPos) = p
-              nPos += 1
-            }
-            def flushDoc(): Unit = {
-              buf.writeVLong(docId - prevDoc)
-              buf.writeVLong(nPos.toLong)
-              buf.writeVLong(len.toLong)
-              posBuf.writeVLong(nPos.toLong)
-              var prev = -1L
-              var j = 0
-              while (j < nPos) {
-                posBuf.writeVLong(posAcc(j) - prev)
-                prev = posAcc(j)
-                j += 1
-              }
-              prevDoc = docId
-              nPostings += 1
-              nPos = 0
-            }
-            addPos(cur._4)
             var done = false
             while (!done) {
+              buf.writeVLong(cur._3 - prevDoc)
+              buf.writeVLong(cur._4.toLong)
+              buf.writeVLong(cur._5.toLong)
+              posBuf.appendAll(cur._6)
+              prevDoc = cur._3
+              nPostings += 1
               if (rows.hasNext) {
                 val n = rows.next()
-                if (n._1 == curTerm && n._2 == curSalt) {
-                  if (n._3 != docId) { flushDoc(); docId = n._3; len = n._5 }
-                  addPos(n._4)
-                } else { pending = Some(n); done = true }
+                if (n._1 == curTerm && n._2 == curSalt) cur = n
+                else { pending = Some(n); done = true }
               } else done = true
             }
-            flushDoc()
             SegmentRow(curTerm, curSalt, buf.toArray, posBuf.toArray, nPostings)
           }
         }

@@ -56,6 +56,13 @@ object PostingCodec {
       }
       append(v.toByte)
     }
+    def appendAll(bs: Array[Byte]): Unit = {
+      var need = buf.length
+      while (n + bs.length > need) need *= 2
+      if (need != buf.length) buf = java.util.Arrays.copyOf(buf, need)
+      System.arraycopy(bs, 0, buf, n, bs.length)
+      n += bs.length
+    }
     def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, n)
     def reset(): Unit = n = 0
   }

@@ -6,22 +6,21 @@ import org.apache.spark.sql.functions._
 
 /** BM25 retrieval over the compressed block-max index
   * (`index(term, df, chunk_id, first_doc_id, last_doc_id, n, max_weight,
-  * blocks, postings)`).
+  * blocks, postings, positions)`).
   *
-  * Two paths:
+  * Paths:
   *  - [[searchTopK]]: exhaustive — decode every chunk of the query terms,
   *    score, top-k. The correctness baseline.
-  *  - [[searchPruned]]: MaxScore + block-range pruning — a θ lower bound on
-  *    the k-th score comes from exactly scoring the rarest term's postings;
-  *    terms whose cumulative upper bounds stay below θ are non-essential
-  *    (docs appearing ONLY in them provably cannot reach the top-k), so
-  *    candidate generation decodes only essential terms, and the rescore
-  *    pass skips chunks outside the candidates' docId range. Guaranteed
+  *  - [[searchPruned]]: MaxScore term pruning + chunk-range skipping +
+  *    block-max WAND block skipping (see its doc). Guaranteed
   *    rank-identical to the exhaustive path (asserted in tests and by the
   *    shared DuckDB oracle).
+  *  - [[search]]: the full serving lifecycle (token/phrase/boolean), with
+  *    the positional adjacency pre-filter on phrases above the gate.
   *
   * Everything stays distributed: the only `collect`s are O(#query-terms)
-  * metadata rows and the k threshold scores — never postings.
+  * metadata rows, the k threshold scores, and the bounded dictionary
+  * expansion — never postings.
   */
 final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
                                    val avgdl: Double) {

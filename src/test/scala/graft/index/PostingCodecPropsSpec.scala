@@ -63,6 +63,36 @@ class PostingCodecPropsSpec extends AnyFunSuite {
     })
   }
 
+  /** Positional postings: tf positions in [0, 2^28), strictly ascending. */
+  private val genPosPostings: Gen[Array[PosPosting]] =
+    genPostings.map(_.map { p =>
+      val tf = math.min(p.tf, 64) // positions array bounded for test speed
+      val rnd = new scala.util.Random(p.doc_id)
+      var pos = -1L
+      val positions = Array.fill(tf) { pos += 1 + rnd.nextInt(1000); pos.toInt }
+      PosPosting(p.doc_id, tf, p.len, positions)
+    })
+
+  test("property: positional encode then decode is the identity, and the " +
+      "postings stream is byte-identical to the non-positional encoder's") {
+    check("pos roundtrip")(Prop.forAll(genPosPostings) { ps =>
+      val (bytes, _, posBytes) = encodeWithPos(ps, 100.0, 1.2, 0.75)
+      val (plain, _) = encode(ps.map(p => Posting(p.doc_id, p.tf, p.len)), 100.0, 1.2, 0.75)
+      val back = decodeWithPos(bytes, posBytes)
+      java.util.Arrays.equals(bytes, plain) &&
+        back.map(p => (p.doc_id, p.tf, p.len)).toSeq ==
+          ps.map(p => (p.doc_id, p.tf, p.len)).toSeq &&
+        back.map(_.positions.toSeq).toSeq == ps.map(_.positions.toSeq).toSeq
+    })
+  }
+
+  test("property: mergeRunsPos of doc-disjoint slices == concatenation") {
+    check("mergeRunsPos")(Prop.forAll(genPosPostings, Gen.chooseNum(1, 8)) { (ps, k) =>
+      val slices = ps.grouped(math.max(1, ps.length / k + 1)).toSeq
+      mergeRunsPos(slices).map(_.doc_id).toSeq == ps.map(_.doc_id).toSeq
+    })
+  }
+
   test("property: mergeRuns of arbitrary splits == flat sort") {
     // interleaved runs defeat the disjoint fast path; contiguous slices use it
     check("mergeRuns")(Prop.forAll(genPostings, Gen.chooseNum(1, 8)) { (ps, k) =>
