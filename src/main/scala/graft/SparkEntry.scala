@@ -22,7 +22,7 @@ object SparkEntry {
     new SearchEngine(tables(s, dir))
 
   private def cengFrom(t: IndexTables): CompressedSearchEngine = {
-    val idx = InvertedIndex.build(graft.index.Stats.tokensPos(t.files),
+    val idx = InvertedIndex.build(graft.index.Stats.postings(t.files),
       t.nDocs, t.avgdl)
     new CompressedSearchEngine(idx, t.nDocs, t.avgdl)
   }

@@ -135,17 +135,20 @@ object CheckpointedBuild {
           count(lit(1)).as("rows"),
           sum(when(sha2(col("content"), 256) === col("sha"), 1L).otherwise(0L)).as("sha_ok"),
           bit_xor(xxhash64(col("doc_id"), col("sha"))).as("snap"))
-        // ONE job per bucket, ONE tokenize pass, ONE wide exchange: the
-        // positional token stream carries len in-row (no docstats join, no
-        // second tokenize) and feeds the salted segment shuffle directly —
-        // tf and positions fold out of the sorted run inside the encoder.
-        // Token/doc metrics are observed ON the same stream (docs_tok counts
-        // the pos==0 row each tokenized doc has exactly once), so no extra
-        // action runs; avgdl comes from these observed sums.
+        // ONE job per bucket, ONE fused tokenize+compact eval per document,
+        // ONE wide exchange: the compact posting stream carries tf, len, and
+        // wire-encoded positions in-row (no docstats join, no second
+        // tokenize, no map-side sort) and feeds the salted segment shuffle
+        // directly. Token/doc metrics are observed ON the same stream
+        // (tokens = Σ tf; docs_tok counts the idx==0 entry each tokenized
+        // doc has exactly once), so no extra action runs; avgdl comes from
+        // these observed sums.
         val dsObs = Observation(s"ds-$b")
-        val toksP = Stats.tokensPos(observed, analyzer)
-          .observe(dsObs, count(lit(1)).as("tokens"),
-            sum(when(col("pos") === 0, 1L).otherwise(0L)).as("docs_tok"))
+        val toksP = Stats.postings(observed, analyzer)
+          .observe(dsObs,
+            coalesce(sum(col("tf")).cast("long"), lit(0L)).as("tokens"),
+            coalesce(sum(when(col("idx") === 0, 1L).otherwise(0L)), lit(0L))
+              .as("docs_tok"))
         val segObs = Observation(s"seg-$b")
         val seg = InvertedIndex
           .segments(toksP, nDocs = math.max(1L, width), saltBuckets)

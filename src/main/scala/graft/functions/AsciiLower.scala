@@ -135,6 +135,7 @@ object AsciiTokens {
 object GraftFunctions {
   val AsciiLowerName = "graft_ascii_lower"
   val AsciiTokensName = "graft_tokens"
+  val CompactTokensName = "graft_compact_tokens"
   val DecodePostingsName = "graft_decode_postings"
   val DecodePositionsName = "graft_decode_positions"
   val DecodeBlocksName = "graft_decode_blocks"
@@ -144,6 +145,8 @@ object GraftFunctions {
       AsciiLowerName, exprs => AsciiLower(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       AsciiTokensName, exprs => AsciiTokens(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CompactTokensName, exprs => CompactTokens(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DecodePostingsName, exprs => DecodePostings(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -160,6 +163,10 @@ object GraftFunctions {
 
   /** `graft_tokens(c)`: lowercased `[a-z0-9]+` token array. */
   def asciiTokens(c: Column): Column = call_function(AsciiTokensName, c)
+
+  /** `graft_compact_tokens(c)`: fused tokenize + per-doc posting compaction
+    * → array<struct<term, tf, len, pos>> (see [[CompactTokens]]). */
+  def compactTokens(c: Column): Column = call_function(CompactTokensName, c)
 
   /** `graft_decode_postings(c)`: var-byte chunk → array<struct<doc_id,tf,len>>. */
   def decodePostings(c: Column): Column = call_function(DecodePostingsName, c)

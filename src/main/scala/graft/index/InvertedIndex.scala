@@ -27,12 +27,6 @@ final case class TermChunks(df: Long, chunks: Array[IndexChunk])
 final case class SegmentRow(term: String, salt: Long, seg: Array[Byte],
                             pos: Array[Byte], n: Long)
 
-/** Stage-0.5 output row: one compacted posting with its pre-encoded
-  * positions record (vint(tf) + delta varints, prev = -1 — the final wire
-  * format, byte-copied into segment runs, never re-encoded). */
-final case class PostingRow(term: String, doc_id: Long, tf: Int, len: Int,
-                            pos: Array[Byte])
-
 /** Stage 2: merge one term's segment runs (sorted, docId-range-disjoint by
   * construction → concatenation fast path) into block-max chunks. */
 final class MergeAgg(avgdl: Double, k1: Double, b: Double, chunkSize: Int)
@@ -64,17 +58,17 @@ final class MergeAgg(avgdl: Double, k1: Double, b: Double, chunkSize: Int)
 
 /** Builder for the compressed inverted index (SURVEY.md §7.1 step 4).
   *
-  * Pipeline: token stream (doc_id, term, pos) ⋈ broadcast docstats →
-  * stage-1 salted partial aggregation repartition(term, salt) + in-partition
-  * sort + streaming encoder → stage-2 merge groupBy(term) → explode chunks.
-  * Salt = doc_id range bucket, so stage-2 merge is a concatenation of
-  * disjoint runs (no re-sort).
+  * Pipeline: fused tokenize+compact expression (one eval per document →
+  * one row per posting, graft.functions.CompactTokens) → stage-1
+  * repartition(term, salt) + in-partition sort + streaming encoder →
+  * stage-2 merge groupBy(term) → explode chunks. Salt = doc_id range
+  * bucket, so stage-2 merge is a concatenation of disjoint runs (no
+  * re-sort).
   *
-  * Taking the raw token stream (not pre-aggregated tf rows) costs ~1.3-2×
-  * shuffle rows but DELETES the (doc_id, term) groupBy exchange that round 1
-  * ran before segmenting: the build now has exactly ONE wide shuffle of
-  * token-scale data (plus the tiny per-doc docstats aggregation), and term
-  * frequency falls out of the same streaming pass that encodes postings.
+  * The build has exactly ONE wide shuffle, of posting-scale (not
+  * token-scale) rows: tf, doc length, and the wire-encoded position record
+  * all ride in the posting row, so there is no docstats join, no
+  * (doc, term) groupBy exchange, and no map-side sort.
   *
   * Final layout: `index(term, df, chunk_id, first_doc_id, last_doc_id, n,
   * max_weight, blocks, postings, positions)`; [[write]] range-partitions by
@@ -84,103 +78,47 @@ final class MergeAgg(avgdl: Double, k1: Double, b: Double, chunkSize: Int)
 object InvertedIndex {
   val ChunkSize = 1 << 17
 
-  /** index rows from the positional token stream (doc_id, term, pos, len).
-    * `saltBuckets` bounds stage-1 group size: each (term, salt) group holds
-    * at most ~nDocs/saltBuckets docs' postings. */
-  def build(tokens: DataFrame, nDocs: Long, avgdl: Double,
+  /** index rows from the compact posting stream (doc_id, term, tf, len,
+    * pos) — graft.index.Stats.postings. `saltBuckets` bounds stage-1 group
+    * size: each (term, salt) group holds at most ~nDocs/saltBuckets docs'
+    * postings. */
+  def build(postings: DataFrame, nDocs: Long, avgdl: Double,
             saltBuckets: Int = 32): DataFrame = {
-    mergeSegments(segments(tokens, nDocs, saltBuckets), avgdl)
-  }
-
-  /** Stage 0.5 (narrow — no exchange): compact the positional token stream
-    * into one row per POSTING, `(term, doc_id, tf, len, pos_bytes)`, before
-    * anything shuffles. A document's tokens never span input partitions (the
-    * tokenizer explodes per document row), so an in-partition sort on
-    * (doc_id, term, pos) + one linear scan is an EXACT (doc, term)
-    * aggregation with no hash table, no per-key JVM objects, and no
-    * exchange. This is the map-side combine the raw token stream otherwise
-    * lacks: without it the wide shuffle carries one row per token — ×tf the
-    * posting count (measured 8× on the bench corpus, 640 MB vs ~90 MB per
-    * bucket) — which is exactly the blow-up that made the positional build
-    * regress. Positions leave here already in their final varbyte wire
-    * format; every later stage byte-copies them. */
-  private def compactPostings(tokens: DataFrame)(implicit spark: SparkSession) = {
-    import spark.implicits._
-    tokens
-      .select(col("doc_id"), col("term"), col("pos").cast("int").as("pos"),
-        col("len").cast("int").as("len"))
-      .sortWithinPartitions("doc_id", "term", "pos")
-      .as[(Long, String, Int, Int)]
-      .mapPartitions { rows =>
-        new Iterator[PostingRow] {
-          private var pending: Option[(Long, String, Int, Int)] = None
-          private val posBuf = new PostingCodec.ByteBuf(64)
-          private var posAcc = new Array[Int](64)
-          def hasNext: Boolean = pending.isDefined || rows.hasNext
-          def next(): PostingRow = {
-            var cur = pending.getOrElse(rows.next())
-            pending = None
-            val docId = cur._1
-            val term = cur._2
-            val len = cur._4
-            var nPos = 0
-            def addPos(p: Int): Unit = {
-              if (nPos == posAcc.length)
-                posAcc = java.util.Arrays.copyOf(posAcc, posAcc.length * 2)
-              posAcc(nPos) = p
-              nPos += 1
-            }
-            addPos(cur._3)
-            var done = false
-            while (!done) {
-              if (rows.hasNext) {
-                val n = rows.next()
-                if (n._1 == docId && n._2 == term) addPos(n._3)
-                else { pending = Some(n); done = true }
-              } else done = true
-            }
-            posBuf.reset()
-            posBuf.writeVLong(nPos.toLong)
-            var prev = -1L
-            var j = 0
-            while (j < nPos) {
-              posBuf.writeVLong(posAcc(j) - prev)
-              prev = posAcc(j)
-              j += 1
-            }
-            PostingRow(term, docId, nPos, len, posBuf.toArray)
-          }
-        }
-      }
+    mergeSegments(segments(postings, nDocs, saltBuckets), avgdl)
   }
 
   /** Stage 1: salted posting runs (term, salt, seg, pos, n).
     *
-    * Compacted postings (stage 0.5) flow through ONE Tungsten shuffle keyed
-    * by (term, salt) — the "salted, skew-aware shuffle keyed by term" of the
-    * north rule — then an in-partition sort and a streaming, zero-buffering
-    * varbyte encoder in `mapPartitions`. Sort-based (spillable, off-heap
-    * UnsafeRow) rather than an object hash aggregate: no per-row JVM
-    * objects, so the stage scales with cores instead of GC. Salt = doc_id
-    * range bucket, so runs are docId-disjoint and stage 2 merges by
-    * concatenation. Position records are byte-appended, never re-encoded.
+    * The compact posting stream — one row per (doc, term), tf/len/positions
+    * already folded doc-at-a-time by the fused tokenize expression
+    * (graft.functions.CompactTokens), so the map side materializes no
+    * per-token rows and sorts nothing — flows through ONE Tungsten shuffle
+    * keyed by (term, salt) — the "salted, skew-aware shuffle keyed by term"
+    * of the north rule — then an in-partition sort and a streaming,
+    * zero-buffering varbyte encoder in `mapPartitions`. Sort-based
+    * (spillable, off-heap UnsafeRow) rather than an object hash aggregate:
+    * no per-row JVM objects, so the stage scales with cores instead of GC.
+    * Salt = doc_id range bucket, so runs are docId-disjoint and stage 2
+    * merges by concatenation. Position records are byte-appended, never
+    * re-encoded.
     *
     * Replaces the reference's in-heap ConcurrentHashMap index build
     * (`Indexer/TextIndexer.java:16, 50-94`) and per-(term,doc) Mongo upserts
     * (`dbManager/dbManager.java:178-237`).
     *
-    * `tokens` must be (doc_id, term, pos, len) rows
-    * (graft.index.Stats.tokensPos) — len riding in the row is what keeps
-    * this a single-pass, join-free stage.
+    * `postings` must be (doc_id, term, tf, len, pos) rows
+    * (graft.index.Stats.postings) — tf/len/positions riding in the row is
+    * what keeps this a single-pass, join-free stage.
     */
-  def segments(tokens: DataFrame, nDocs: Long,
+  def segments(postings: DataFrame, nDocs: Long,
                saltBuckets: Int = 32): DataFrame = {
-    implicit val spark: SparkSession = tokens.sparkSession
+    implicit val spark: SparkSession = postings.sparkSession
     import spark.implicits._
     val bucketWidth = math.max(1L, nDocs / saltBuckets)
-    compactPostings(tokens)
+    postings
       .select(col("term"), (col("doc_id") / bucketWidth).cast("long").as("salt"),
-        col("doc_id"), col("tf"), col("len"), col("pos"))
+        col("doc_id"), col("tf").cast("int").as("tf"),
+        col("len").cast("int").as("len"), col("pos"))
       .repartition(col("term"), col("salt"))
       .sortWithinPartitions("term", "salt", "doc_id")
       .as[(String, Long, Long, Int, Int, Array[Byte])]

@@ -79,6 +79,39 @@ object Stats {
       .select(col("doc_id"), col("col").as("term"), col("pos"), col("len"))
   }
 
+  /** Compacted posting stream `(doc_id, idx, term, tf, len, pos)` — the
+    * index-build input: ONE fused tokenize+compact expression eval per
+    * document (graft.functions.CompactTokens) emits one entry per DISTINCT
+    * term with tf, doc length, and the wire-encoded position record. No
+    * per-token rows, no pre-shuffle sort, no docstats join. `idx` is the
+    * entry's index within its document (idx == 0 exactly once per tokenized
+    * doc → the docs_tok observation). Same posexplode_outer + isNotNull
+    * shape as [[tokensPos]] so the optimizer cannot push an implied
+    * non-empty filter below the projection and re-run the tokenizer. */
+  def postings(files: DataFrame, analyzer: String = "simple"): DataFrame = {
+    val entries: DataFrame = analyzer match {
+      case "simple" =>
+        graft.functions.GraftFunctions.register(files.sparkSession)
+        files.select(col("doc_id"),
+          graft.functions.GraftFunctions.compactTokens(col("content")).as("entries"))
+      case "code" =>
+        val compUdf = udf((c: String, l: String) =>
+          graft.functions.CompactTokens.fromTokens(Analyzer.codeTokens(c, l)))
+        val withLang =
+          if (files.columns.contains("lang")) files
+          else files.withColumn("lang", lit(""))
+        withLang.select(col("doc_id"),
+          compUdf(col("content"), col("lang")).as("entries"))
+      case other => throw new IllegalArgumentException(s"analyzer: $other")
+    }
+    entries
+      .select(col("doc_id"), posexplode_outer(col("entries")))
+      .filter(col("col").isNotNull)
+      .select(col("doc_id"), col("pos").as("idx"), col("col.term").as("term"),
+        col("col.tf").as("tf"), col("col.len").as("len"),
+        col("col.pos").as("pos"))
+  }
+
   /** tf(doc_id, term, tf) — A1. */
   def tf(files: DataFrame, analyzer: String = "simple"): DataFrame =
     tokens(files, analyzer).groupBy("doc_id", "term")

@@ -38,7 +38,7 @@ class PlanAuditSpec extends SparkSpec {
   test("compressed index scan pushes the query-term IN filter") {
     val idxPath = "/tmp/graft_planspec_index"
     InvertedIndex.write(
-      InvertedIndex.build(graft.index.Stats.tokensPos(Corpus.files(spark, sf)),
+      InvertedIndex.build(graft.index.Stats.postings(Corpus.files(spark, sf)),
         t.nDocs, t.avgdl), idxPath)
     val ce = new CompressedSearchEngine(
       InvertedIndex.load(spark, idxPath), t.nDocs, t.avgdl)
@@ -47,21 +47,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("segment build: one (term, salt) repartition, single tokenize, no join") {
+  test("segment build: one (term, salt) repartition, single fused tokenize, " +
+      "no join, no map-side sort") {
     val p = plan(InvertedIndex.segments(
-      graft.index.Stats.tokensPos(Corpus.files(spark, sf)), t.nDocs))
+      graft.index.Stats.postings(Corpus.files(spark, sf)), t.nDocs))
     // exactly one explicit repartition — the salted, skew-aware shuffle
     val reparts = "REPARTITION_BY_COL".r.findAllIn(p).length
     assert(reparts == 1, s"expected 1 REPARTITION_BY_COL, got $reparts in:\n$p")
     assert(p.contains("hashpartitioning(term"), p)
     assert(p.contains("Sort [term"), p)
-    // len rides in the token row: the build plan has NO join at all
+    // tf/len/positions ride in the posting row: the build plan has NO join
     assert(!p.contains("Join"), p)
-    // and tokenizes each row exactly once (the array is materialized once —
-    // not re-evaluated for size(), the generator, or a pushed-down
-    // non-empty filter at the scan)
-    val tokenizes = "asciitokens".r.findAllIn(p).length
-    assert(tokenizes == 1, s"expected 1 asciitokens eval, got $tokenizes in:\n$p")
+    // the fused tokenize+compact expression evaluates exactly once per row
+    // (the array is materialized once — not re-evaluated for the generator
+    // or a pushed-down non-empty filter at the scan)
+    val tokenizes = "compacttokens".r.findAllIn(p).length
+    assert(tokenizes == 1, s"expected 1 compacttokens eval, got $tokenizes in:\n$p")
+    // the ONLY sort is the post-shuffle (term, salt, doc_id) run sort — the
+    // map side no longer sorts per-token rows
+    val sorts = "\\bSort \\[".r.findAllIn(p).length
+    assert(sorts == 1, s"expected 1 Sort (post-shuffle only), got $sorts in:\n$p")
   }
 
   test("near-dup pairs plan is an LSH-bucket equi-join, never a cartesian") {

@@ -118,7 +118,7 @@ class CheckpointedBuildSpec extends SparkSpec {
     val ck = CheckpointedBuild.load(spark, out)
     val t = graft.index.IndexTables.build(files)
     val direct = new graft.search.CompressedSearchEngine(
-      graft.index.InvertedIndex.build(graft.index.Stats.tokensPos(files),
+      graft.index.InvertedIndex.build(graft.index.Stats.postings(files),
         t.nDocs, t.avgdl),
       t.nDocs, t.avgdl)
     val got = ck.searchTopK(Seq("merge", "sort", "window"), 10).collect()

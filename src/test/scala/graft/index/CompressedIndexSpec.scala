@@ -22,7 +22,7 @@ class CompressedIndexSpec extends SparkSpec {
   private def build(seed: Int, nDocs: Int, saltBuckets: Int) = {
     val files = corpus(seed, nDocs).toDF("doc_id", "content")
     val t = IndexTables.build(files, "simple")
-    val idx = InvertedIndex.build(Stats.tokensPos(files),
+    val idx = InvertedIndex.build(Stats.postings(files),
       t.nDocs, t.avgdl, saltBuckets)
     (t, new CompressedSearchEngine(idx, t.nDocs, t.avgdl))
   }

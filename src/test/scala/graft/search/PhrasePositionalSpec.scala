@@ -30,7 +30,7 @@ class PhrasePositionalSpec extends SparkSpec {
   private lazy val files = docs.toDF("doc_id", "content")
   private lazy val t = IndexTables.build(files, "simple")
   private lazy val ce = {
-    val idx = InvertedIndex.build(Stats.tokensPos(files),
+    val idx = InvertedIndex.build(Stats.postings(files),
       t.nDocs, t.avgdl, saltBuckets = 4)
     new CompressedSearchEngine(idx, t.nDocs, t.avgdl)
   }
