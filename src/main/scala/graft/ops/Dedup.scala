@@ -48,24 +48,46 @@ object Dedup {
           |  i -> concat_ws(' ', words[i-1], words[i], words[i+1]))""".stripMargin
       )).as("shingle"))
 
-  /** MinHash signatures: sig(doc, h) = min over distinct shingles of
-    * md5(h || '|' || shingle), h ∈ [0, nHashes). */
-  def minhashSignatures(documents: DataFrame, nHashes: Int = 16): DataFrame =
-    shingles(documents).distinct()
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(nHashes - 1))).as("h"))
-      .groupBy("doc_id", "h")
-      .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("shingle"))))
-        .as("sig"))
+  /** One row per doc with all nHashes MinHash minima as columns m0..m{n-1}.
+    * ONE wide exchange for the whole signature computation: the h-loop runs
+    * as nHashes aggregate columns over the raw shingle stream instead of a
+    * ×nHashes row explosion (the md5 count is identical; the shuffle and
+    * hash-agg probe count drop ×nHashes), and the shingle `distinct()` is
+    * dropped because duplicates can never change a min — that removes a
+    * second corpus-wide exchange. Map-side partial min keeps the exchange at
+    * one row per (doc, partial). */
+  private def minhashWide(documents: DataFrame, nHashes: Int): DataFrame = {
+    val mins = (0 until nHashes).map(h =>
+      min(md5(concat(lit(s"$h|"), col("shingle")))).as(s"m$h"))
+    shingles(documents).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
-  /** LSH banding: bucket(doc, band) = md5 of the band's h-ordered sigs. */
+  /** MinHash signatures: sig(doc, h) = min over distinct shingles of
+    * md5(h || '|' || shingle), h ∈ [0, nHashes) — unpivoted from
+    * [[minhashWide]] (#docs × nHashes rows, narrow). */
+  def minhashSignatures(documents: DataFrame, nHashes: Int = 16): DataFrame =
+    minhashWide(documents, nHashes).selectExpr("doc_id",
+      s"stack($nHashes, ${(0 until nHashes)
+        .map(h => s"$h, m$h").mkString(", ")}) as (h, sig)")
+
+  /** LSH banding: bucket(doc, band) = md5 of the band's h-ordered sigs —
+    * built straight from the wide signature row (pure column expressions,
+    * no (doc, band) groupBy: the band's members and their h-order are known
+    * statically, so the old sort_array(collect_list(...)) exchange reduces
+    * to a concat). */
   def lshBuckets(documents: DataFrame, nHashes: Int = 16,
-                 rowsPerBand: Int = 4): DataFrame =
-    minhashSignatures(documents, nHashes)
-      .groupBy(col("doc_id"), (col("h") / rowsPerBand).cast("int").as("band"))
-      .agg(md5(array_join(sort_array(collect_list(
-        concat(lpad(col("h").cast("string"), 2, "0"), lit(":"), col("sig")))),
-        "|")).as("bucket"))
+                 rowsPerBand: Int = 4): DataFrame = {
+    val nBands = (nHashes + rowsPerBand - 1) / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val entries = (b * rowsPerBand until math.min(nHashes, (b + 1) * rowsPerBand))
+        .map(h => concat(lit(f"$h%02d:"), col(s"m$h")))
+      struct(lit(b).as("band"), md5(array_join(array(entries: _*), "|")).as("bucket"))
+    }
+    minhashWide(documents, nHashes)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
 
   /** MinHash+LSH candidate pairs: docs sharing any band bucket. */
   def minhashPairs(documents: DataFrame, nHashes: Int = 16,

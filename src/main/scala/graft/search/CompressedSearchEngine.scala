@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
 final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
                                    val avgdl: Double) {
 
+  /** Diagnostic: whether the last [[searchPruned]] call ran the block-max
+    * candidate-generation pass (τ > 0 for some essential term) or provably
+    * skipped it (τ ≤ 0 for all — no block prunable). Tests assert both
+    * branches execute across their query matrix. */
+  @volatile private[graft] var lastPrunedUsedCandidates: Option[Boolean] = None
+
   // native codegen'd decode (graft.functions.DecodePostings) — stays inside
   // whole-stage codegen fused with the explode, no catalyst↔Scala converters
   private def decodeCol(c: org.apache.spark.sql.Column) = {
@@ -239,7 +245,13 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
     if (terms.isEmpty) return searchTopK(terms, k)
     if (!force && nDocs < CompressedSearchEngine.PruneGateDocs)
       return searchTopK(terms, k)
-    val rows = rowsFor(terms).persist()
+    // project the positions column away BEFORE caching: scoring never reads
+    // it, and for common terms it dwarfs the postings stream (≈ tf varbyte
+    // positions per posting vs ~5 bytes of posting) — persisting it would
+    // make the cache materialization the dominant cost of the whole query
+    val rows = rowsFor(terms).select(col("term"), col("df"),
+      col("first_doc_id"), col("last_doc_id"), col("max_weight"),
+      col("blocks"), col("postings")).persist()
     try {
       // (1) per-term metadata: df, max block weight, chunk docId range.
       val meta = rows.groupBy("term")
@@ -274,20 +286,33 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
       val hi = meta.collect { case (t, _, _, _, h) if essSet(t) => h }.max
       // (4) candidates: docs in at least one essential term's SURVIVING
       // blocks (block-max WAND bound τ_t below); rescore them over all
-      // terms, decoding only blocks that intersect [lo, hi].
+      // terms, decoding only blocks that intersect [lo, hi]. When τ_t ≤ 0
+      // for EVERY essential term, no block is prunable (max_weight ≥ 0
+      // always passes), so the candidate set would be every essential-term
+      // doc and the semi join a provable no-op — skip the whole pass (two
+      // stages + a join + its codegen) and let the rescore's [lo, hi] chunk
+      // and block range bounds do the narrowing. Dropping the candidate
+      // join is always rank-safe: it only removes docs whose total score is
+      // bounded below θ, which can never displace the true top-k.
       val ubSum = ub.values.sum
       def tau(t: String): Double = (theta - (ubSum - ub(t))) / idf(t)
-      val minwCand = essTerms.tail
-        .foldLeft(when(col("term") === essTerms.head, lit(tau(essTerms.head)))) {
-          (acc, t) => acc.when(col("term") === t, lit(tau(t)))
-        }.otherwise(lit(0.0))
-      val cand = decodedBlocksFrom(rows.filter(col("term").isin(essTerms: _*)),
-          lit(Long.MinValue), lit(Long.MaxValue), minwCand)
-        .select("doc_id").distinct()
-      val decodedRows = decodedBlocksFrom(
-          rows.filter(col("last_doc_id") >= lo && col("first_doc_id") <= hi),
-          lit(lo), lit(hi), lit(0.0))
-        .join(cand, Seq("doc_id"), "left_semi")
+      val rescore = decodedBlocksFrom(
+        rows.filter(col("last_doc_id") >= lo && col("first_doc_id") <= hi),
+        lit(lo), lit(hi), lit(0.0))
+      val useCandidates = !essTerms.forall(tau(_) <= 0.0)
+      lastPrunedUsedCandidates = Some(useCandidates)
+      val decodedRows =
+        if (!useCandidates) rescore
+        else {
+          val minwCand = essTerms.tail
+            .foldLeft(when(col("term") === essTerms.head, lit(tau(essTerms.head)))) {
+              (acc, t) => acc.when(col("term") === t, lit(tau(t)))
+            }.otherwise(lit(0.0))
+          val cand = decodedBlocksFrom(rows.filter(col("term").isin(essTerms: _*)),
+              lit(Long.MinValue), lit(Long.MaxValue), minwCand)
+            .select("doc_id").distinct()
+          rescore.join(cand, Seq("doc_id"), "left_semi")
+        }
       scoreDecoded(decodedRows, k)
     } finally rows.unpersist()
   }

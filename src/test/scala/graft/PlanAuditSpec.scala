@@ -52,8 +52,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(InvertedIndex.segments(
       graft.index.Stats.postings(Corpus.files(spark, sf)), t.nDocs))
     // exactly one explicit repartition — the salted, skew-aware shuffle
-    val reparts = "REPARTITION_BY_COL".r.findAllIn(p).length
-    assert(reparts == 1, s"expected 1 REPARTITION_BY_COL, got $reparts in:\n$p")
+    // (REPARTITION_BY_NUM: user-specified count, exempt from AQE's
+    // size-based coalescing — the encode stage is CPU-per-posting bound)
+    val reparts = "REPARTITION_BY_NUM".r.findAllIn(p).length
+    assert(reparts == 1, s"expected 1 REPARTITION_BY_NUM, got $reparts in:\n$p")
     assert(p.contains("hashpartitioning(term"), p)
     assert(p.contains("Sort [term"), p)
     // tf/len/positions ride in the posting row: the build plan has NO join

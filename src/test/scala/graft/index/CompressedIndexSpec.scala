@@ -55,7 +55,8 @@ class CompressedIndexSpec extends SparkSpec {
     }
   }
 
-  test("pruned top-k rank-identical to exhaustive") {
+  test("pruned top-k rank-identical to exhaustive, both τ branches covered") {
+    val branches = scala.collection.mutable.Set.empty[Boolean]
     for (seed <- Seq(3, 5, 9)) {
       val (_, ce) = build(seed, 250, 8)
       for (terms <- Seq(Seq("merge"), Seq("merge", "sort", "window"),
@@ -63,11 +64,15 @@ class CompressedIndexSpec extends SparkSpec {
           Seq("hash", "join", "scan", "filter", "stream"))) {
         val got = ce.searchPruned(terms, 10, force = true).collect()
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        ce.lastPrunedUsedCandidates.foreach(branches += _)
         val want = ce.searchTopK(terms, 10).collect()
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq
         assert(got === want, s"seed=$seed terms=$terms")
       }
     }
+    // the matrix must exercise BOTH the block-max candidate pass (τ > 0)
+    // and the provable-no-op skip (τ ≤ 0 for all essential terms)
+    assert(branches === Set(true, false), s"branches covered: $branches")
   }
 
   test("block-max WAND pruning rank-identical at multi-block scale") {
