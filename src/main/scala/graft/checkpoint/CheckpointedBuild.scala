@@ -213,7 +213,7 @@ object CheckpointedBuild {
     val docsTok = math.max(1L, ms.map(_.docsTok).sum)
     val avgdl = ms.map(_.tokens).sum.toDouble / docsTok
     val index = InvertedIndex.mergeSegments(
-      segAll.select("term", "seg", "pos"), avgdl)
+      segAll.select("term", "seg", "pos", "n"), avgdl)
     InvertedIndex.write(index, s"$outDir/index", io = io)
     Files.writeString(Paths.get(s"$outDir/scalars.json"),
       s"""{"n_docs": $nDocs, "avgdl": $avgdl, "buckets": $nBuckets, "status": "published"}""")

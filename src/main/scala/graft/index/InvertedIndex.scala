@@ -1,10 +1,8 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.collection.mutable.ArrayBuffer
-import PostingCodec.{BlockMeta, PosPosting}
+import PostingCodec.BlockMeta
 
 /** One bounded chunk of a term's final posting list. Chunks split a term's
   * postings every [[InvertedIndex.ChunkSize]] entries so a single row (and a
@@ -20,41 +18,17 @@ final case class IndexChunk(chunk_id: Int, first_doc_id: Long,
                             blocks: Array[BlockMeta], postings: Array[Byte],
                             positions: Array[Byte])
 
-final case class TermChunks(df: Long, chunks: Array[IndexChunk])
+/** One final index row: a term's chunk plus the term-level df. Field order
+  * is the index's column order. */
+final case class IndexRow(term: String, df: Long, chunk_id: Int,
+                          first_doc_id: Long, last_doc_id: Long, n: Int,
+                          max_weight: Double, blocks: Array[BlockMeta],
+                          postings: Array[Byte], positions: Array[Byte])
 
 /** Stage-1 output row: one sorted encoded run per (term, salt) — postings
   * stream + positions stream + posting count (manifest metrics). */
 final case class SegmentRow(term: String, salt: Long, seg: Array[Byte],
                             pos: Array[Byte], n: Long)
-
-/** Stage 2: merge one term's segment runs (sorted, docId-range-disjoint by
-  * construction → concatenation fast path) into block-max chunks. */
-final class MergeAgg(avgdl: Double, k1: Double, b: Double, chunkSize: Int)
-    extends Aggregator[(Array[Byte], Array[Byte]),
-      ArrayBuffer[(Array[Byte], Array[Byte])], TermChunks] {
-  def zero: ArrayBuffer[(Array[Byte], Array[Byte])] = ArrayBuffer.empty
-  def reduce(buf: ArrayBuffer[(Array[Byte], Array[Byte])],
-             seg: (Array[Byte], Array[Byte])): ArrayBuffer[(Array[Byte], Array[Byte])] = {
-    buf += seg; buf
-  }
-  def merge(a: ArrayBuffer[(Array[Byte], Array[Byte])],
-            b2: ArrayBuffer[(Array[Byte], Array[Byte])]): ArrayBuffer[(Array[Byte], Array[Byte])] = {
-    a ++= b2; a
-  }
-  def finish(buf: ArrayBuffer[(Array[Byte], Array[Byte])]): TermChunks = {
-    val merged = PostingCodec.mergeRunsPos(
-      buf.map { case (s, p) => PostingCodec.decodeWithPos(s, p) }.toSeq)
-    val chunks = merged.grouped(chunkSize).zipWithIndex.map { case (ps, i) =>
-      val (bytes, blocks, posBytes) = PostingCodec.encodeWithPos(ps, avgdl, k1, b)
-      IndexChunk(i, ps.head.doc_id, ps.last.doc_id, ps.length,
-        blocks.map(_.max_weight).max, blocks, bytes, posBytes)
-    }.toArray
-    TermChunks(merged.length.toLong, chunks)
-  }
-  def bufferEncoder: Encoder[ArrayBuffer[(Array[Byte], Array[Byte])]] =
-    Encoders.kryo[ArrayBuffer[(Array[Byte], Array[Byte])]]
-  def outputEncoder: Encoder[TermChunks] = Encoders.product[TermChunks]
-}
 
 /** Builder for the compressed inverted index (SURVEY.md §7.1 step 4).
   *
@@ -164,29 +138,89 @@ object InvertedIndex {
       .toDF("term", "salt", "seg", "pos", "n")
   }
 
-  /** Stage 2: merge (term, salt, seg, pos) runs into the final chunked
-    * index.
+  /** Stage 2: merge (term, seg, pos, n) runs into the final chunked index.
     *
-    * The explicit term repartition pins the merge's parallelism to the
-    * cluster width: the segment bytes are small (varbyte + parquet
-    * compression) but the merge COST is per posting (kryo buffers, decode,
-    * re-encode), so AQE's size-based coalescing would otherwise shrink this
-    * stage to 1-2 tasks and serialize the whole tail of the build (measured
-    * 2-task × 2 s stages at 4 cores on a 480k-file corpus). A user-specified
-    * partition count is exempt from AQE coalescing, and hashpartitioning
-    * (term, N) already satisfies the groupBy clustering — no second
-    * exchange. Per-bucket segment files hold each term at most once, so
-    * map-side partial aggregation had nothing to combine anyway. */
+    * Same architectural shape as stage 1: one term-keyed exchange, an
+    * in-partition sort, and a STREAMING encoder in `mapPartitions` that
+    * holds exactly one term's run bytes at a time and emits chunk rows as
+    * they fill (PostingCodec.mergeStreamsPos — byte-level, no per-posting
+    * objects). The previous kryo-UDAF groupBy held EVERY term's run buffers
+    * in the ObjectHashAggregate map simultaneously and emitted one row per
+    * term carrying all its chunks — for a term present in every doc that is
+    * a df-sized single row, and at ~2M docs × 32 merge tasks the stage
+    * collapsed into GC (measured 10× build-throughput loss vs 480k files).
+    *
+    * The explicit term repartition also pins the merge's parallelism to the
+    * cluster width: segment bytes are tiny after varbyte + parquet
+    * compression but the merge COST is per posting, so AQE's size-based
+    * coalescing would otherwise shrink this stage to 1-2 tasks and
+    * serialize the build tail (measured 2-task × 2 s stages at 4 cores). A
+    * user-specified partition count is exempt from coalescing.
+    *
+    * `segments` needs (term, seg, pos, n); df = Σ n over the term's runs is
+    * known before chunks stream out, so every chunk row carries it. */
   def mergeSegments(segments: DataFrame, avgdl: Double): DataFrame = {
-    val mergeUdaf = udaf(new MergeAgg(avgdl, Stats.K1, Stats.B, ChunkSize))
-    segments
-      .repartition(segments.sparkSession.sparkContext.defaultParallelism,
-        col("term"))
-      .groupBy("term")
-      .agg(mergeUdaf(col("seg"), col("pos")).as("tc"))
-      .select(col("term"), col("tc.df").as("df"),
-        explode(col("tc.chunks")).as("chunk"))
-      .select(col("term"), col("df"), col("chunk.*"))
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.select(col("term"), col("seg"), col("pos"), col("n"))
+      .repartition(spark.sparkContext.defaultParallelism, col("term"))
+      .sortWithinPartitions("term")
+      .as[(String, Array[Byte], Array[Byte], Long)]
+      .mapPartitions { rows =>
+        new Iterator[IndexRow] {
+          private var pending: Option[(String, Array[Byte], Array[Byte], Long)] = None
+          private var chunks: Iterator[IndexRow] = Iterator.empty
+          def hasNext: Boolean = chunks.hasNext || pending.isDefined || rows.hasNext
+          def next(): IndexRow = {
+            while (!chunks.hasNext) {
+              var cur = pending.getOrElse(rows.next())
+              pending = None
+              val term = cur._1
+              val runs = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
+              var df = 0L
+              var done = false
+              while (!done) {
+                runs += ((cur._2, cur._3))
+                df += cur._4
+                if (rows.hasNext) {
+                  val n = rows.next()
+                  if (n._1 == term) cur = n
+                  else { pending = Some(n); done = true }
+                } else done = true
+              }
+              chunks = InvertedIndex.termChunkRows(term, df, runs.toSeq, avgdl)
+            }
+            chunks.next()
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** One term's chunk rows from its encoded runs — streaming fast path,
+    * object-path fallback for non-disjoint runs (the salted doc_id-range
+    * build never emits those; reachable only via hand-built segments). */
+  private[index] def termChunkRows(term: String, df: Long,
+      runs: Seq[(Array[Byte], Array[Byte])], avgdl: Double,
+      chunkSize: Int = ChunkSize): Iterator[IndexRow] = {
+    try {
+      val outs = PostingCodec.mergeStreamsPos(runs, avgdl, Stats.K1, Stats.B, chunkSize)
+      outs.iterator.zipWithIndex.map { case (c, i) =>
+        IndexRow(term, df, i, c.first_doc_id, c.last_doc_id, c.n,
+          c.blocks.map(_.max_weight).max, c.blocks, c.bytes, c.pos)
+      }
+    } catch {
+      case _: IllegalArgumentException =>
+        val merged = PostingCodec.mergeRunsPos(
+          runs.map { case (s, p) => PostingCodec.decodeWithPos(s, p) })
+        merged.grouped(chunkSize).zipWithIndex.map { case (ps, i) =>
+          val (bytes, blocks, posBytes) =
+            PostingCodec.encodeWithPos(ps, avgdl, Stats.K1, Stats.B)
+          IndexRow(term, merged.length.toLong, i, ps.head.doc_id,
+            ps.last.doc_id, ps.length, blocks.map(_.max_weight).max,
+            blocks, bytes, posBytes)
+        }
+    }
   }
 
   /** Persist with explicit range partitioning of terms (north rule): each

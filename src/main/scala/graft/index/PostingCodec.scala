@@ -56,12 +56,13 @@ object PostingCodec {
       }
       append(v.toByte)
     }
-    def appendAll(bs: Array[Byte]): Unit = {
+    def appendAll(bs: Array[Byte]): Unit = appendSlice(bs, 0, bs.length)
+    def appendSlice(bs: Array[Byte], from: Int, len: Int): Unit = {
       var need = buf.length
-      while (n + bs.length > need) need *= 2
+      while (n + len > need) need *= 2
       if (need != buf.length) buf = java.util.Arrays.copyOf(buf, need)
-      System.arraycopy(bs, 0, buf, n, bs.length)
-      n += bs.length
+      System.arraycopy(bs, from, buf, n, len)
+      n += len
     }
     def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, n)
     def reset(): Unit = n = 0
@@ -198,6 +199,102 @@ object PostingCodec {
       }
       PosPosting(p.doc_id, p.tf, p.len, ps)
     }
+  }
+
+  /** One finished chunk from the streaming merge ([[mergeStreamsPos]]):
+    * everything [[graft.index.IndexChunk]] needs except the chunk_id. */
+  final case class ChunkOut(first_doc_id: Long, last_doc_id: Long, n: Int,
+                            blocks: Array[BlockMeta], bytes: Array[Byte],
+                            pos: Array[Byte])
+
+  /** STREAMING merge of doc-disjoint encoded runs into block-max chunks
+    * with O(chunk) memory — the scale-critical path of the stage-2 merge.
+    *
+    * The object path (decode → concat → re-encode) materializes one JVM
+    * object + positions array per posting for the WHOLE term before
+    * chunking; for a term present in every document that is df live
+    * objects per task, and at ~2M docs × 32 merge tasks the old-gen fills
+    * with short-lived posting objects and the build collapses into GC
+    * (measured: 69k files/s at 480k files → 7k at 1.92M). Here each run is
+    * semi-decoded with a varint cursor (primitives only), the position
+    * records — self-contained per posting — are byte-copied, and chunks
+    * are emitted as soon as they fill, so live memory is one chunk's
+    * buffers regardless of df.
+    *
+    * Requires runs pairwise doc-disjoint after ordering by first doc_id
+    * (the salted doc_id-range build guarantees this); throws
+    * IllegalArgumentException on violation — callers fall back to the
+    * object path ([[mergeRunsPos]] + [[encodeWithPos]]).
+    */
+  def mergeStreamsPos(runs0: Seq[(Array[Byte], Array[Byte])], avgdl: Double,
+                      k1: Double, b: Double, chunkSize: Int): Array[ChunkOut] = {
+    val runs = runs0.filter(_._1.nonEmpty).sortBy { case (seg, _) =>
+      new Reader(seg, 0).readVLong() - 1 // first doc = gap + (-1)
+    }
+    val chunks = ArrayBuffer.empty[ChunkOut]
+    var out = new ByteBuf(1 << 16)
+    var posOut = new ByteBuf(1 << 16)
+    var blocks = new ArrayBuffer[BlockMeta]
+    var chunkN = 0
+    var chunkFirst = -1L
+    var chunkPrev = -1L
+    var blockOffset = 0
+    var blockMaxTf = 0
+    var blockMaxW = 0.0
+    var blockN = 0
+    var lastDoc = -1L
+
+    def flushBlock(): Unit = if (blockN > 0) {
+      blocks += BlockMeta(chunkPrev, blockMaxTf, blockMaxW, blockOffset)
+      blockMaxTf = 0; blockMaxW = 0.0; blockN = 0
+    }
+    def flushChunk(): Unit = if (chunkN > 0) {
+      flushBlock()
+      chunks += ChunkOut(chunkFirst, chunkPrev, chunkN, blocks.toArray,
+        out.toArray, posOut.toArray)
+      out = new ByteBuf(1 << 16); posOut = new ByteBuf(1 << 16)
+      blocks = new ArrayBuffer[BlockMeta]
+      chunkN = 0; chunkFirst = -1L; chunkPrev = -1L; blockOffset = 0
+    }
+    def add(doc: Long, tf: Int, len: Int,
+            posSrc: Array[Byte], posFrom: Int, posLen: Int): Unit = {
+      if (chunkN == chunkSize) flushChunk()
+      if (blockN == BlockSize) flushBlock()
+      if (chunkN == 0) { chunkFirst = doc; chunkPrev = -1L }
+      if (blockN == 0) blockOffset = out.length
+      out.writeVLong(doc - chunkPrev)
+      out.writeVLong(tf.toLong)
+      out.writeVLong(len.toLong)
+      posOut.appendSlice(posSrc, posFrom, posLen)
+      chunkPrev = doc
+      chunkN += 1
+      blockN += 1
+      if (tf > blockMaxTf) blockMaxTf = tf
+      val w = weight(tf, len, avgdl, k1, b)
+      if (w > blockMaxW) blockMaxW = w
+    }
+
+    runs.foreach { case (seg, posB) =>
+      val rp = new Reader(seg, 0)
+      val rr = new Reader(posB, 0)
+      var prev = -1L
+      while (rp.hasMore) {
+        val doc = prev + rp.readVLong()
+        val tf = rp.readVInt()
+        val len = rp.readVInt()
+        prev = doc
+        require(doc > lastDoc,
+          s"streaming merge needs doc-disjoint ordered runs: $doc after $lastDoc")
+        lastDoc = doc
+        val posStart = rr.pos
+        val nPos = rr.readVInt()
+        var j = 0
+        while (j < nPos) { rr.readVLong(); j += 1 }
+        add(doc, tf, len, posB, posStart, rr.pos - posStart)
+      }
+    }
+    flushChunk()
+    chunks.toArray
   }
 
   /** Merge sorted positional runs (mirrors [[mergeRuns]]). */

@@ -71,6 +71,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(sorts == 1, s"expected 1 Sort (post-shuffle only), got $sorts in:\n$p")
   }
 
+  test("minhash pipeline: one signature computation, no collect_list") {
+    val df = ops.Dedup.minhashPairs(Corpus.documents(spark, sf))
+    df.collect() // AQE finalizes the plan at runtime
+    val p = df.queryExecution.executedPlan.toString
+    // the 16 hash minima are aggregate COLUMNS over the raw shingle stream
+    // (one groupBy(doc_id) exchange); band buckets derive from the wide
+    // row, and the self-join's second side REUSES the signature exchange
+    // rather than recomputing the shingle scan
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("collect_list"), p)
+  }
+
   test("near-dup pairs plan is an LSH-bucket equi-join, never a cartesian") {
     val p = plan(ops.Similarity.nearDupPairs(Corpus.embeddings(spark, sf)))
     assert(!p.contains("CartesianProduct"), p)

@@ -128,9 +128,8 @@ class CompressedIndexSpec extends SparkSpec {
   }
 
   test("chunking splits long posting lists and preserves order + positions") {
-    // force tiny chunks by building manually with a small chunk size
+    // force tiny chunks by merging manually with a small chunk size
     val avgdl = 10.0
-    val agg = new MergeAgg(avgdl, 1.2, 0.75, chunkSize = 64)
     val pps = (0L until 300L).map { i =>
       val tf = 1 + (i % 5).toInt
       PostingCodec.PosPosting(i * 3, tf, 30, Array.tabulate(tf)(j => j * 2 + (i % 7).toInt))
@@ -147,15 +146,16 @@ class CompressedIndexSpec extends SparkSpec {
       var pp = -1L
       p.positions.foreach { q => PostingCodec.writeVLong(posBuf, q - pp); pp = q }
     }
-    val tc = agg.finish(scala.collection.mutable.ArrayBuffer(
-      (segBuf.toArray, posBuf.toArray)))
-    assert(tc.df === 300)
-    assert(tc.chunks.length === 5) // ceil(300/64)
-    val all = tc.chunks.flatMap(c => PostingCodec.decode(c.postings))
+    val chunks = InvertedIndex.termChunkRows("t", 300L,
+      Seq((segBuf.toArray, posBuf.toArray)), avgdl, chunkSize = 64).toArray
+    assert(chunks.forall(_.df === 300))
+    assert(chunks.length === 5) // ceil(300/64)
+    assert(chunks.map(_.chunk_id).toSeq === (0 until 5))
+    val all = chunks.flatMap(c => PostingCodec.decode(c.postings))
     assert(all.toSeq === pps.map(p => PostingCodec.Posting(p.doc_id, p.tf, p.len)))
-    val allPos = tc.chunks.flatMap(c =>
+    val allPos = chunks.flatMap(c =>
       PostingCodec.decodeWithPos(c.postings, c.positions))
     assert(allPos.map(_.positions.toSeq).toSeq === pps.map(_.positions.toSeq))
-    assert(tc.chunks.forall(c => c.first_doc_id <= c.last_doc_id))
+    assert(chunks.forall(c => c.first_doc_id <= c.last_doc_id))
   }
 }

@@ -86,6 +86,44 @@ class PostingCodecPropsSpec extends AnyFunSuite {
     })
   }
 
+  test("property: streaming mergeStreamsPos == object-path chunking, " +
+      "byte-identical postings/positions and identical block metadata") {
+    val genChunkSize = Gen.oneOf(7, 64, 1 << 17)
+    check("mergeStreams")(Prop.forAll(genPosPostings, Gen.chooseNum(1, 8),
+        genChunkSize) { (ps, k, chunkSize) =>
+      val slices = ps.grouped(math.max(1, ps.length / k + 1)).toSeq
+        .filter(_.nonEmpty)
+      val runs = slices.map(s => {
+        val (bytes, _, posBytes) = encodeWithPos(s, 100.0, 1.2, 0.75)
+        (bytes, posBytes)
+      })
+      val got = mergeStreamsPos(runs, 100.0, 1.2, 0.75, chunkSize)
+      val want = ps.grouped(chunkSize).toSeq.map { cps =>
+        val (bytes, blocks, posBytes) = encodeWithPos(cps, 100.0, 1.2, 0.75)
+        (cps.head.doc_id, cps.last.doc_id, cps.length, blocks, bytes, posBytes)
+      }
+      got.length == want.length && got.zip(want).forall {
+        case (g, (first, last, n, blocks, bytes, posBytes)) =>
+          g.first_doc_id == first && g.last_doc_id == last && g.n == n &&
+            java.util.Arrays.equals(g.bytes, bytes) &&
+            java.util.Arrays.equals(g.pos, posBytes) &&
+            g.blocks.toSeq == blocks.toSeq
+      }
+    })
+  }
+
+  test("mergeStreamsPos rejects interleaved (non-disjoint) runs") {
+    val a = Array(PosPosting(1L, 1, 10, Array(0)), PosPosting(5L, 1, 10, Array(1)))
+    val b = Array(PosPosting(3L, 1, 10, Array(2)))
+    val runs = Seq(a, b).map { s =>
+      val (bytes, _, posBytes) = encodeWithPos(s, 100.0, 1.2, 0.75)
+      (bytes, posBytes)
+    }
+    assertThrows[IllegalArgumentException] {
+      mergeStreamsPos(runs, 100.0, 1.2, 0.75, 1 << 17)
+    }
+  }
+
   test("property: mergeRunsPos of doc-disjoint slices == concatenation") {
     check("mergeRunsPos")(Prop.forAll(genPosPostings, Gen.chooseNum(1, 8)) { (ps, k) =>
       val slices = ps.grouped(math.max(1, ps.length / k + 1)).toSeq
