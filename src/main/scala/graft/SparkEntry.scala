@@ -78,7 +78,7 @@ object SparkEntry {
     // E3 NOT
     "q_bool_not" -> ((s, dir) =>
       eng(s, dir).search("\"sort merge\" NOT \"hash join\"")),
-    // A2 + §2.11: delta-gap varbyte posting Aggregator — encode∘decode = id
+    // A2 + §2.11: delta-gap varbyte posting codec — encode∘decode = id
     "q_index_roundtrip" -> ((s, dir) =>
       ceng(s, dir).decoded(None).orderBy("term", "doc_id")),
     // block-max skip metadata (128-posting blocks)
