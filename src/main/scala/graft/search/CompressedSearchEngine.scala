@@ -133,11 +133,24 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
       occurrences(rowsFor(ts))
         .select(col("doc_id"), (col("pos") - i).as("start"), lit(i).as("slot"))
     }
-    Some(slotDfs.reduce(_ unionByName _)
-      .groupBy("doc_id", "start")
-      .agg(countDistinct(col("slot")).as("ns"))
-      .filter(col("ns") === n)
-      .select("doc_id").distinct())
+    // distinct-slot completeness as ONE single-phase aggregation: slots are
+    // small ints, so bit_or of (1 << slot) + popcount == n is exactly
+    // count_distinct(slot) == n without the expand + two-phase agg Spark
+    // plans for countDistinct (halves the shuffle of the adjacency pass);
+    // phrases beyond 63 tokens would overflow the mask — no such queries
+    // exist, but fall back to countDistinct for completeness
+    val complete =
+      if (n <= 63)
+        slotDfs.reduce(_ unionByName _)
+          .groupBy("doc_id", "start")
+          .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), slot)")).as("mask"))
+          .filter(bit_count(col("mask")) === n)
+      else
+        slotDfs.reduce(_ unionByName _)
+          .groupBy("doc_id", "start")
+          .agg(countDistinct(col("slot")).as("ns"))
+          .filter(col("ns") === n)
+    Some(complete.select("doc_id").distinct())
   }
 
   /** P4 phrase candidates: conjunctive tokens, optionally narrowed by the
