@@ -73,6 +73,13 @@ object CheckpointedBuild {
       }
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
   private def isComplete(outDir: String, b: Int): Boolean = {
     val p = manifestPath(outDir, b)
     Files.exists(p) && Files.readString(p).contains("\"status\": \"complete\"")
@@ -98,6 +105,24 @@ object CheckpointedBuild {
           verifyResume: Boolean = true): BuildStats = {
     val spark = files.sparkSession
     Files.createDirectories(Paths.get(outDir))
+    // Orphan cleanup (ADVICE r2): a previous build with a LARGER nBuckets may
+    // have left manifests and segments/bucket=b dirs with b >= nBuckets. The
+    // merge phase reads segments/* and manifest/* wholesale, so those orphans
+    // would be double-merged (nDocs over-counts, postings duplicate). Remove
+    // them before anything else; in-range buckets are covered by the snapshot
+    // re-validation below (boundaries moved → snapshot mismatch → rebuild).
+    readManifests(outDir).filter(_.partition_id >= nBuckets)
+      .foreach(m => Files.deleteIfExists(manifestPath(outDir, m.partition_id)))
+    val segRoot = Paths.get(s"$outDir/segments")
+    if (Files.isDirectory(segRoot)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(segRoot).iterator().asScala.toSeq.foreach { p =>
+        val name = p.getFileName.toString
+        val orphan = name.startsWith("bucket=") &&
+          scala.util.Try(name.stripPrefix("bucket=").toInt).toOption.exists(_ >= nBuckets)
+        if (orphan) deleteRecursively(p)
+      }
+    }
     val bounds = files.agg(min("doc_id"), max("doc_id")).head()
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (maxId - minId + nBuckets) / nBuckets)

@@ -27,17 +27,22 @@ case class DecodePostingsBlocks(postings: Expression, blocks: Expression,
                                 lo: Expression, hi: Expression,
                                 minw: Expression) extends Expression {
   override def children: Seq[Expression] = Seq(postings, blocks, lo, hi, minw)
-  override def nullable: Boolean = postings.nullable || blocks.nullable
+  override def nullable: Boolean = children.exists(_.nullable)
   override def dataType: DataType = DecodePostings.schema
 
   override def eval(input: InternalRow): Any = {
     val p = postings.eval(input)
     val b = blocks.eval(input)
-    if (p == null || b == null) return null
+    val l = lo.eval(input)
+    val h = hi.eval(input)
+    val w = minw.eval(input)
+    // full null propagation across all five children (ADVICE r2): callers
+    // pass literal lo/hi/minw today, but a nullable scalar child must yield
+    // null, not decode with defaults
+    if (p == null || b == null || l == null || h == null || w == null) return null
     DecodePostingsBlocks.decode(p.asInstanceOf[Array[Byte]],
       b.asInstanceOf[ArrayData],
-      lo.eval(input).asInstanceOf[Long], hi.eval(input).asInstanceOf[Long],
-      minw.eval(input).asInstanceOf[Double])
+      l.asInstanceOf[Long], h.asInstanceOf[Long], w.asInstanceOf[Double])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -53,7 +58,8 @@ case class DecodePostingsBlocks(postings: Expression, blocks: Expression,
       ${lG.code}
       ${hG.code}
       ${wG.code}
-      boolean ${ev.isNull} = ${pG.isNull} || ${bG.isNull};
+      boolean ${ev.isNull} = ${pG.isNull} || ${bG.isNull} ||
+        ${lG.isNull} || ${hG.isNull} || ${wG.isNull};
       $javaType ${ev.value} = null;
       if (!${ev.isNull}) {
         ${ev.value} = graft.functions.DecodePostingsBlocks.decode(

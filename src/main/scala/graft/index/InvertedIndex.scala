@@ -169,10 +169,14 @@ object InvertedIndex {
       .mapPartitions { rows =>
         new Iterator[IndexRow] {
           private var pending: Option[(String, Array[Byte], Array[Byte], Long)] = None
+          // group advancement lives in hasNext (via advance), not next: a
+          // term group whose runs all decode to zero postings yields zero
+          // chunks, and assuming every group emits one would make next()
+          // call rows.next() past exhaustion (ADVICE r2) — unreachable from
+          // stage-1 output, reachable via hand-built segments.
           private var chunks: Iterator[IndexRow] = Iterator.empty
-          def hasNext: Boolean = chunks.hasNext || pending.isDefined || rows.hasNext
-          def next(): IndexRow = {
-            while (!chunks.hasNext) {
+          private def advance(): Unit =
+            while (!chunks.hasNext && (pending.isDefined || rows.hasNext)) {
               var cur = pending.getOrElse(rows.next())
               pending = None
               val term = cur._1
@@ -190,8 +194,8 @@ object InvertedIndex {
               }
               chunks = InvertedIndex.termChunkRows(term, df, runs.toSeq, avgdl)
             }
-            chunks.next()
-          }
+          def hasNext: Boolean = { advance(); chunks.hasNext }
+          def next(): IndexRow = { advance(); chunks.next() }
         }
       }
       .toDF()

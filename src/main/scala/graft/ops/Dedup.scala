@@ -135,21 +135,29 @@ object Dedup {
 
   /** SimHash (32-bit): bit j = sign of Σ_tokens tf · (parity of the j-th hex
     * digit of md5(token) ? +1 : −1). Pure integer arithmetic → exact in both
-    * engines. */
+    * engines.
+    *
+    * ONE doc_id exchange (the minhashWide trick): Σ over distinct terms of
+    * tf·sign equals Σ over raw token occurrences of sign, so the (doc,term)
+    * tf groupBy is dropped and the 32-way bit loop runs as 32 conditional-sum
+    * aggregate columns over the occurrence stream — no ×32 row explosion, no
+    * two-level groupBy (the r2 shape shuffled 32× posting-scale rows). md5 is
+    * evaluated once per occurrence (narrow, codegen'd); map-side partial sums
+    * keep the exchange at one 32-column row per (doc, partition). */
   def simhash(documents: DataFrame): DataFrame = {
-    val tf = withWords(documents)
+    val toks = withWords(documents)
       .select(col("doc_id"), explode(col("words")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    tf.select(col("doc_id"), col("term"), col("tf"),
-        explode(sequence(lit(0), lit(31))).as("j"))
-      .withColumn("digit",
-        expr("instr('0123456789abcdef', substring(md5(term), j + 1, 1)) - 1"))
-      .withColumn("contrib",
-        col("tf") * when(col("digit") % 2 === 1, lit(1L)).otherwise(lit(-1L)))
-      .groupBy("doc_id", "j").agg(sum(col("contrib")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, j) AS BIGINT)"))
-        .otherwise(lit(0L))).as("simhash"))
+      .withColumn("h", md5(col("term")))
+    // digit_j = instr('0123456789abcdef', substring(h, j+1, 1)) - 1; contrib
+    // is +1 when digit_j is odd ⇔ instr % 2 == 0 (same parity as the r2 path)
+    val sums = (0 until 32).map { j =>
+      sum(when(expr(s"instr('0123456789abcdef', substring(h, ${j + 1}, 1)) % 2") === 0,
+        lit(1L)).otherwise(lit(-1L))).as(s"s$j")
+    }
+    toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 }

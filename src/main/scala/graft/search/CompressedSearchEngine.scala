@@ -208,10 +208,15 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
       case Bool(op, p1, p2) =>
         val c1 = phr(p1)
         val c2 = phr(p2)
+        // Semi/anti joins instead of intersect/except (and a bare union for
+        // OR): both sets are distinct doc_id projections and `cand` feeds
+        // only a left_semi join in scoreCand, so the set-op distinct
+        // aggregates (two per except/intersect — the r2 bool_not regression)
+        // are pure overhead.
         val cand = op match {
-          case "and" => c1.intersect(c2)
-          case "or"  => c1.union(c2).distinct()
-          case "not" => c1.except(c2)
+          case "and" => c1.join(c2, Seq("doc_id"), "left_semi")
+          case "or"  => c1.union(c2)
+          case "not" => c1.join(c2, Seq("doc_id"), "left_anti")
         }
         val terms = if (op == "not") toks(p1) else (toks(p1) ++ toks(p2)).distinct
         scoreCand(terms, Some(cand), k)

@@ -41,8 +41,11 @@ object QueryLog {
       io.append(rows.toDF("query", "normalized").coalesce(1), path)
   }
 
-  def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Load the append log back through the same table seam as [[append]] —
+    * a non-parquet TableIO must round-trip (ADVICE r2). */
+  def load(spark: SparkSession, path: String,
+           io: graft.sources.TableIO = graft.sources.ParquetTableIO): DataFrame =
+    io.read(spark, path)
 
   /** A11: the reference's `$inc count` upsert counter as a groupBy-count
     * view over the append log: (query, normalized, cnt). */

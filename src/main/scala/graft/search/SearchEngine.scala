@@ -90,10 +90,15 @@ final class SearchEngine(val t: IndexTables, val analyzer: String = "simple") {
       val c1 = phraseCandidates(p1)
       val c2 = phraseCandidates(p2)
       // E1/E2/E3 over the phrase-filtered sets (PhraseBasedRanker.java:93-105).
+      // The sets are already distinct doc_id projections (files is unique per
+      // doc_id) and the result feeds only a left_semi join in scoreTopK, so
+      // plain semi/anti joins + a bare union replace intersect/except/
+      // union.distinct — each of which planned an extra distinct aggregate
+      // on BOTH candidate sets (the r2 bool_not 2.5× regression).
       val cand = op match {
-        case "and" => c1.intersect(c2)
-        case "or"  => c1.union(c2).distinct()
-        case "not" => c1.except(c2)
+        case "and" => c1.join(c2, Seq("doc_id"), "left_semi")
+        case "or"  => c1.union(c2)
+        case "not" => c1.join(c2, Seq("doc_id"), "left_anti")
       }
       // Scoring terms: union of both phrases' tokens for AND/OR; NOT scores
       // only the included phrase's tokens (design decision, SURVEY.md §7.4).
