@@ -36,7 +36,18 @@ object IndexBuildJob {
       case _ =>
         (parStr.toInt, GraftSession.builder(s"graft-index-build-$parStr", parStr.toInt))
     }
-    val spark = builder.getOrCreate()
+    // Task granularity: with shuffle.partitions == cores and 128 MB input
+    // splits, every stage at N=4 runs 4-5 coarse tasks — a 5th task is a
+    // whole extra wave (3 cores idle), and reduce-side term skew lands
+    // directly in the stage wall. N=1 pays neither cost (sequential), so
+    // coarse granularity is a pure tax on the LARGER level of the scaling
+    // pair. 4 partitions per core + ~16 MB splits keep the tail bounded at
+    // a quarter wave; on a real cluster this is the standard 2-4 tasks per
+    // core rule.
+    val spark = builder
+      .config("spark.sql.shuffle.partitions", (par * 4).toString)
+      .config("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.get("SPARK_GRAFT_DEBUG").contains("1"))
       spark.sparkContext.addSparkListener(new SparkListener {
@@ -50,44 +61,8 @@ object IndexBuildJob {
         }
       })
 
-    def corpusOf(targetFiles: Long) = {
-      val docs = corpus.Corpus.documents(spark, sfDir)
-      val n = docs.count()
-      val r = math.max(1L, targetFiles / n)
-      // replicated id is materialized in its own select first so the
-      // repo/path/commit derivations below see the NEW doc_id (inside one
-      // select, col("doc_id") would still resolve to the input column and
-      // all r replicas would share identical metadata)
-      val f = docs
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          explode(sequence(lit(0L), lit(r - 1))).as("rep"))
-        .select((col("doc_id") * r + col("rep")).as("doc_id"),
-          col("text"), col("lang"), col("source"))
-        .select(col("doc_id"),
-          concat(lit("org"), (col("doc_id") % 10).cast("string"), lit("/"), col("source")).as("repo"),
-          concat(lit("src/doc_"), col("doc_id").cast("string")).as("path"),
-          md5(concat(lit("commit"), col("doc_id").cast("string"))).as("commit"),
-          col("lang"),
-          array_join(array_repeat(col("text"),
-            sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "8").toInt), " ")
-            .as("content"))
-        .withColumn("sha", sha2(col("content"), 256))
-      // The replicated corpus is WRITTEN ONCE as doc_id-range-sorted parquet
-      // and read back — the honest input shape for a build benchmark (a real
-      // corpus is a table on storage, not a cached DataFrame). A heap cache
-      // of the corpus stops fitting somewhere between 1M and 2M files and
-      // every extra build pass then thrashes the spill tier — measured as a
-      // fake 4x-data → 24x-time "superlinearity" that vanishes with a
-      // parquet-backed corpus. Range-sorted files mean each bucket job's
-      // doc_id filter prunes to its own files via parquet min/max stats, the
-      // same pruning an Iceberg-partitioned 100 TB input would give.
-      val corpusPath = s"$outDir-corpus"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusPath))
-      f.repartitionByRange(128, col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(corpusPath)
-      (spark.read.parquet(corpusPath), n * r)
-    }
+    def corpusOf(targetFiles: Long) =
+      IndexBuildJob.corpusOf(spark, sfDir, outDir, targetFiles)
 
     if (warmupFiles > 0) {
       val (wf, _) = corpusOf(warmupFiles)
@@ -100,5 +75,52 @@ object IndexBuildJob {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"build_sec": $sec%.3f, "files": $nFiles, "files_per_sec": ${nFiles / sec}%.1f, "parallelism": $par}""")
     spark.stop()
+  }
+
+  /** Deterministic replicated benchmark corpus, written once as
+    * doc_id-range-sorted parquet at `$outDir-corpus` and read back — the
+    * honest input shape for a build benchmark (a real corpus is a table on
+    * storage, not a cached DataFrame). A heap cache of the corpus stops
+    * fitting somewhere between 1M and 2M files and every extra build pass
+    * then thrashes the spill tier — measured as a fake 4×-data → 24×-time
+    * "superlinearity" that vanishes with a parquet-backed corpus.
+    * Range-sorted files mean each bucket job's doc_id filter prunes to its
+    * own files via parquet min/max stats, the same pruning an
+    * Iceberg-partitioned 100 TB input would give. */
+  def corpusOf(spark: SparkSession, sfDir: String, outDir: String,
+               targetFiles: Long): (org.apache.spark.sql.DataFrame, Long) = {
+    val docs = corpus.Corpus.documents(spark, sfDir)
+    val n = docs.count()
+    val r = math.max(1L, targetFiles / n)
+    // replicated id is materialized in its own select first so the
+    // repo/path/commit derivations below see the NEW doc_id (inside one
+    // select, col("doc_id") would still resolve to the input column and
+    // all r replicas would share identical metadata)
+    val f = docs
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        explode(sequence(lit(0L), lit(r - 1))).as("rep"))
+      .select((col("doc_id") * r + col("rep")).as("doc_id"),
+        col("text"), col("lang"), col("source"))
+      .select(col("doc_id"),
+        concat(lit("org"), (col("doc_id") % 10).cast("string"), lit("/"), col("source")).as("repo"),
+        concat(lit("src/doc_"), col("doc_id").cast("string")).as("path"),
+        md5(concat(lit("commit"), col("doc_id").cast("string"))).as("commit"),
+        col("lang"),
+        array_join(array_repeat(col("text"),
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "8").toInt), " ")
+          .as("content"))
+      .withColumn("sha", sha2(col("content"), 256))
+    val corpusPath = s"$outDir-corpus"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusPath))
+    // file count scales with the corpus (~15 MB/file): files are the
+    // split-packing unit, so constant-size files keep scan-task
+    // granularity fine at every target size (128 files at 7.68M docs
+    // would be 210 MB monoliths whose 128 MB row groups cap split
+    // granularity no matter what maxPartitionBytes says)
+    val nCorpusFiles = math.max(128L, n * r / 30000L).toInt
+    f.repartitionByRange(nCorpusFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(corpusPath)
+    (spark.read.parquet(corpusPath), n * r)
   }
 }

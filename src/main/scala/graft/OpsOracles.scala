@@ -200,15 +200,23 @@ object OpsOracles {
       |    i -> md5(substr(text, CAST(i AS INT), 8))), 'min') AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Closed-form expected values of the BMP/WAV fixture headers that
+    * graft.ops.Multimodal PARSES back out of the generated bytes: the Spark
+    * side never evaluates these formulas on the read path (it reads
+    * little-endian header fields), so agreement certifies the real decode.
+    * BMP n_bytes = 54-byte headers + height × 4-aligned 24-bpp rows; WAV
+    * n_bytes = 44-byte canonical header + frames × channels × 2. */
   val multimodal: String =
-    """WITH m AS (
-      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |         sha256(text) AS sha
-      |  FROM documents
-      |)
-      |SELECT doc_id, 'text/plain' AS kind, n_bytes, sha,
-      |       n_bytes % 640 + 1 AS width,
-      |       (n_bytes * 7) % 480 + 1 AS height,
-      |       n_bytes % 16 + 1 AS n_frames
-      |FROM m ORDER BY doc_id""".stripMargin
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS kind,
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN 54 + ((doc_id % 48) + 1) * ((((doc_id % 64) + 1) * 3 + 3) // 4 * 4)
+      |       ELSE 44 + ((doc_id % 1000) + 1) * (((doc_id // 2) % 2) + 1) * 2
+      |  END AS n_bytes,
+      |  CASE WHEN doc_id % 2 = 0 THEN (doc_id % 64) + 1 ELSE 0 END AS width,
+      |  CASE WHEN doc_id % 2 = 0 THEN (doc_id % 48) + 1 ELSE 0 END AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE (doc_id % 1000) + 1 END AS n_frames,
+      |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + (doc_id % 8) * 1000 END AS sample_rate,
+      |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE ((doc_id // 2) % 2) + 1 END AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.checkpoint.CheckpointedBuild
+import graft.search.QueryLog
+
+/** Thin serving loop — the reference's long-lived query lifecycle
+  * (`Backend/TextController.java:30-44`: one warm engine answering
+  * query/page/limit requests, logging queries, serving suggestions) minus the
+  * HTTP framework: a REPL over stdin against ONE loaded engine.
+  *
+  * What "long-lived" buys and what this entry exercises: the published index
+  * is loaded ONCE (parquet scans served from the persisted engine DataFrame),
+  * the phrase-expansion term dictionary is materialized once and cached
+  * across queries (CompressedSearchEngine.termDict), the display corpus is
+  * persisted once — per-query work is only the query's own plan. Every
+  * query is appended to the query log (S10), so `:suggest` reflects the
+  * session's history like the reference's suggestion endpoint.
+  *
+  * Protocol (one request per line, one JSON line per result row):
+  *   <query>                 top-10 BM25 (tokens / "phrase" / boolean)
+  *   :page <p> <n> <query>   page p (1-based) of n results
+  *   :suggest <prefix>       top-10 query suggestions
+  *   :quit                   exit
+  */
+object Serve {
+
+  /** One warm serving session over a published checkpoint dir. */
+  final class Session(spark: SparkSession, ckptDir: String, corpus: DataFrame,
+                      logPath: String) {
+    val engine: graft.search.CompressedSearchEngine =
+      CheckpointedBuild.load(spark, ckptDir)
+    private val files = corpus.persist()
+    private val display = files.select("doc_id", "repo", "path", "lang")
+
+    /** J2/J3 hydrate AFTER top-k: content columns only for the result page. */
+    private def hydrate(topk: DataFrame): DataFrame =
+      topk.join(display, Seq("doc_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+
+    def query(raw: String, k: Int = 10): DataFrame = {
+      QueryLog.append(spark, logPath, Seq(raw))
+      hydrate(engine.search(raw, files, k))
+    }
+
+    def page(raw: String, page: Int, limit: Int): DataFrame = {
+      QueryLog.append(spark, logPath, Seq(raw))
+      hydrate(engine.searchPage(raw, files, page, limit))
+    }
+
+    def suggest(prefix: String): DataFrame =
+      QueryLog.suggest(QueryLog.load(spark, logPath), prefix)
+
+    /** One protocol line → result rows rendered as JSON strings. */
+    def handle(line: String): Seq[String] = {
+      val trimmed = line.trim
+      if (trimmed.isEmpty) return Seq.empty
+      val df = trimmed match {
+        case s if s.startsWith(":suggest ") =>
+          suggest(s.stripPrefix(":suggest ").trim)
+        case s if s.startsWith(":page ") =>
+          s.stripPrefix(":page ").split("\\s+", 3) match {
+            case Array(p, n, q) => page(q, p.toInt, n.toInt)
+            case _ => return Seq("""{"error": "usage: :page <p> <n> <query>"}""")
+          }
+        case q => query(q)
+      }
+      df.toJSON.collect().toSeq
+    }
+
+    def close(): Unit = files.unpersist()
+  }
+
+  /** args: <sfDir> [ckptDir]. Builds the checkpoint if not yet published
+    * (resumable — a second Serve on the same dir skips straight to load). */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val ckptDir = args.lift(1).getOrElse(
+      s"/tmp/graft_serve_v3_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val spark = GraftSession.builder("graft-serve",
+      Runtime.getRuntime.availableProcessors()).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val files = corpus.Corpus.files(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$ckptDir/scalars.json")))
+      CheckpointedBuild.run(files, ckptDir, nBuckets = 4)
+    val session = new Session(spark, ckptDir, files, s"$ckptDir/querylog")
+    println(s"""{"status": "serving", "n_docs": ${session.engine.nDocs}}""")
+    Iterator.continually(scala.io.StdIn.readLine())
+      .takeWhile(l => l != null && l.trim != ":quit")
+      .foreach { line =>
+        try session.handle(line).foreach(println)
+        catch { case e: Exception =>
+          println(s"""{"error": "${e.getMessage.replace("\"", "'")}"}""") }
+      }
+    session.close()
+    spark.stop()
+  }
+}

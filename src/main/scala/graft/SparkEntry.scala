@@ -119,6 +119,27 @@ object SparkEntry {
       graft.checkpoint.CheckpointedBuild.load(s, out)
         .searchTopK(Seq("merge", "sort", "window"))
     }),
+    // S3 incremental append: initial build over the lower 3/4 of the id
+    // domain, then an append run over the full corpus with the SAME domain —
+    // untouched buckets re-validate (snapshot match) and are skipped, only
+    // the appended range's bucket rebuilds (asserted byte-identical
+    // manifests in CheckpointedBuildSpec); the merged index must equal a
+    // fresh full build, certified here by the full-corpus BM25 oracle
+    "q_bm25_incremental" -> ((s, dir) => {
+      val out = s"/tmp/graft_ckpt_v3_incr_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val files = Corpus.files(s, dir)
+      val b = files.agg(min("doc_id"), max("doc_id")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val cut = lo + 3 * math.max(1L, (hi - lo + 4) / 4)
+      val domain = Some((lo, hi))
+      graft.checkpoint.CheckpointedBuild.run(files.filter(col("doc_id") < cut),
+        out, nBuckets = 4, idDomain = domain)
+      graft.checkpoint.CheckpointedBuild.run(files, out, nBuckets = 4,
+        idDomain = domain)
+      graft.checkpoint.CheckpointedBuild.load(s, out)
+        .searchTopK(Seq("merge", "sort", "window"))
+    }),
     // ---- training-data pipeline ops (documents / embeddings tables) ----
     "q_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exact(Corpus.documents(s, dir))),
@@ -296,6 +317,7 @@ object SparkEntry {
         Seq("table", "scan"), "table scan", "INTERSECT",
         Seq("merge", "sort", "table", "scan")),
       "q_bm25_checkpointed" -> bm25(Seq("merge", "sort", "window"), Nil, None),
+      "q_bm25_incremental" -> bm25(Seq("merge", "sort", "window"), Nil, None),
       "q_dedup_exact" -> OpsOracles.dedupExact,
       "q_minhash_sig" -> OpsOracles.minhashSig,
       "q_dedup_minhash" -> OpsOracles.minhashPairs,

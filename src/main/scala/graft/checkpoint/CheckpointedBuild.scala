@@ -97,12 +97,21 @@ object CheckpointedBuild {
     * snapshot_id no longer matches is invalidated and rebuilt, so resuming
     * into an outDir after the corpus changed can never mix stale segments
     * with fresh ones. */
+  /** `idDomain`: the doc_id key space the buckets partition, `(min, max)`
+    * inclusive. Defaults to the CURRENT input's min/max — correct for a
+    * one-shot build, but bucket boundaries then move whenever the corpus
+    * grows. For incremental append (S3 delta semantics) pass the table's
+    * allocated id domain on every run: boundaries stay fixed, so appending
+    * a doc_id range re-validates untouched buckets as identical (snapshot
+    * hash match → skipped) and rebuilds only the buckets the new rows land
+    * in — the offline analog of Iceberg snapshot-delta processing. */
   def run(files: DataFrame, outDir: String, nBuckets: Int = 8,
           saltBuckets: Int = 32, analyzer: String = "simple",
           failAfterBuckets: Int = Int.MaxValue,
           bucketConc: Int = -1,
           io: graft.sources.TableIO = graft.sources.ParquetTableIO,
-          verifyResume: Boolean = true): BuildStats = {
+          verifyResume: Boolean = true,
+          idDomain: Option[(Long, Long)] = None): BuildStats = {
     val spark = files.sparkSession
     Files.createDirectories(Paths.get(outDir))
     // Orphan cleanup (ADVICE r2): a previous build with a LARGER nBuckets may
@@ -123,8 +132,10 @@ object CheckpointedBuild {
         if (orphan) deleteRecursively(p)
       }
     }
-    val bounds = files.agg(min("doc_id"), max("doc_id")).head()
-    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val (minId, maxId) = idDomain.getOrElse {
+      val bounds = files.agg(min("doc_id"), max("doc_id")).head()
+      (bounds.getLong(0), bounds.getLong(1))
+    }
     val width = math.max(1L, (maxId - minId + nBuckets) / nBuckets)
 
     // resume validation: invalidate manifests whose snapshot no longer
@@ -184,10 +195,14 @@ object CheckpointedBuild {
         val m = obs.get
         val sm = segObs.get
         val dm = dsObs.get
-        val rows = m("rows").asInstanceOf[Long]
+        // an all-empty bucket slice (incremental append: the not-yet-loaded
+        // id range) can be optimized to an empty LocalRelation, which drops
+        // the CollectMetrics nodes entirely — empty metric maps mean 0 rows
+        val rows = m.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
         val shaOk = if (rows == 0) 0L else m("sha_ok").asInstanceOf[Long]
         require(shaOk == rows, s"sha256 invariant violated in bucket $b: $shaOk/$rows")
-        val nTokens = dm("tokens").asInstanceOf[Long]
+        val nTokens =
+          if (rows == 0) 0L else dm("tokens").asInstanceOf[Long]
         val nPostings =
           if (rows == 0 || nTokens == 0) 0L else sm("postings").asInstanceOf[Long]
         val snap = if (rows == 0) "empty"

@@ -163,7 +163,7 @@ object InvertedIndex {
     val spark = segments.sparkSession
     import spark.implicits._
     segments.select(col("term"), col("seg"), col("pos"), col("n"))
-      .repartition(spark.sparkContext.defaultParallelism, col("term"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("term"))
       .sortWithinPartitions("term")
       .as[(String, Array[Byte], Array[Byte], Long)]
       .mapPartitions { rows =>

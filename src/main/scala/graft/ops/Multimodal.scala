@@ -1,61 +1,189 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` payloads with typed
   * metadata, plus a batched decode/feature-extract stage.
   *
-  * The decode step is a clearly-marked deterministic STUB (the sandbox has
-  * no image/audio codecs); the Spark-side plumbing — schema, partition-wise
-  * batched processing via typed `mapPartitions`, metadata derivation — is
-  * real and tested. Swap [[MediaStub.decode]] for a codec call (or a
-  * `mapInPandas`/`mapInArrow` stage in PySpark) to process real media.
+  * The decode step is a REAL pure-JVM container parse (BMP and WAV — formats
+  * whose headers are plain little-endian structs, so no codec dependency is
+  * needed): [[MediaCodec.decode]] dispatches on the payload's magic bytes and
+  * reads width/height (BMP `BITMAPINFOHEADER`) or channels/sample-rate/frame
+  * count (WAV `fmt `/`data` chunk walk) out of the byte stream, validating
+  * magic, header sizes and declared lengths. Fixture payloads are complete
+  * valid files generated deterministically from `doc_id` (pixel data and PCM
+  * samples included), so the driver's DuckDB oracle can verify the PARSED
+  * fields against their closed-form values — two independent paths meeting
+  * at the header bytes. The reference's analog runs DinoV2 via ONNX for
+  * image features (`ImageSearching/ImageFeatureExtractor.java:27-60`); the
+  * embedding-similarity half of that pipeline lives in
+  * [[graft.ops.Similarity]], this operator is the decode/metadata half.
+  *
+  * Spark shape: payload generation and decode are typed `mapPartitions`
+  * stages (the batch shape a vectorized `mapInArrow` codec stage takes),
+  * everything else is columnar; no shuffle anywhere — the whole pipeline is
+  * narrow and scales with input splits.
   */
 object Multimodal {
 
-  final case class MediaRow(doc_id: Long, kind: String, n_bytes: Long,
-                            sha: String, payload: Array[Byte])
-  final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
-                                 sha: String, width: Long, height: Long,
-                                 n_frames: Long)
+  final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
 
-  /** STUB decoder: deterministic fake dimensions from the payload size.
-    * Replace with a real codec for production media. */
-  object MediaStub {
-    def decode(payload: Array[Byte]): (Long, Long, Long) = {
-      val n = payload.length.toLong
-      (n % 640 + 1, (n * 7) % 480 + 1, n % 16 + 1)
+  /** Typed metadata from the container parse. Image rows carry
+    * (width, height, n_frames=1); audio rows carry
+    * (n_frames = PCM frame count, sample_rate, channels). */
+  final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
+                                 width: Long, height: Long, n_frames: Long,
+                                 sample_rate: Long, channels: Long)
+
+  /** Pure-JVM media container codec (BMP + PCM WAV). Encoders build complete
+    * valid files; [[decode]] trusts only the bytes. */
+  object MediaCodec {
+    private def le16(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def le32(b: Array[Byte], o: Int, v: Int): Unit = {
+      le16(b, o, v & 0xffff); le16(b, o + 2, (v >>> 16) & 0xffff)
+    }
+    private def rd16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def rd32(b: Array[Byte], o: Int): Int =
+      rd16(b, o) | (rd16(b, o + 2) << 16)
+
+    /** 24-bpp uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + pixel
+      * rows padded to 4 bytes), deterministic pixel bytes from `seed`. */
+    def makeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0)
+      val rowBytes = (width * 3 + 3) / 4 * 4
+      val dataSize = height * rowBytes
+      val b = new Array[Byte](54 + dataSize)
+      b(0) = 'B'; b(1) = 'M'
+      le32(b, 2, b.length)        // file size
+      le32(b, 10, 54)             // pixel data offset
+      le32(b, 14, 40)             // BITMAPINFOHEADER size
+      le32(b, 18, width)
+      le32(b, 22, height)
+      le16(b, 26, 1)              // planes
+      le16(b, 28, 24)             // bits per pixel
+      le32(b, 34, dataSize)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < rowBytes) {
+          b(54 + y * rowBytes + x) = ((seed + x + 7L * y) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      b
+    }
+
+    /** 16-bit PCM WAV (RIFF/WAVE with canonical `fmt ` + `data` chunks),
+      * deterministic samples from `seed`. `nFrames` = samples per channel. */
+    def makeWav(sampleRate: Int, channels: Int, nFrames: Int,
+                seed: Long): Array[Byte] = {
+      require(sampleRate > 0 && channels > 0 && nFrames > 0)
+      val blockAlign = channels * 2
+      val dataSize = nFrames * blockAlign
+      val b = new Array[Byte](44 + dataSize)
+      b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+      le32(b, 4, 36 + dataSize)   // RIFF chunk size
+      b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+      b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+      le32(b, 16, 16)             // fmt chunk size (PCM)
+      le16(b, 20, 1)              // audio format = PCM
+      le16(b, 22, channels)
+      le32(b, 24, sampleRate)
+      le32(b, 28, sampleRate * blockAlign) // byte rate
+      le16(b, 32, blockAlign)
+      le16(b, 34, 16)             // bits per sample
+      b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+      le32(b, 40, dataSize)
+      var i = 0
+      while (i < dataSize / 2) {
+        le16(b, 44 + 2 * i, (((seed * 31 + i) % 65536) - 32768).toInt & 0xffff)
+        i += 1
+      }
+      b
+    }
+
+    /** Parse the container header: (kind, width, height, n_frames,
+      * sample_rate, channels). Rejects unknown magic / malformed headers. */
+    def decode(p: Array[Byte]): (String, Long, Long, Long, Long, Long) = {
+      if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
+        require(rd32(p, 2) == p.length, s"BMP: declared size ${rd32(p, 2)} != ${p.length}")
+        require(rd32(p, 14) >= 40, "BMP: not a BITMAPINFOHEADER")
+        val w = rd32(p, 18)
+        val h = rd32(p, 22)
+        require(w > 0 && h > 0, s"BMP: bad dimensions ${w}x$h")
+        ("image/bmp", w.toLong, h.toLong, 1L, 0L, 0L)
+      } else if (p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+          p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
+        // chunk walk: headers may order/pad chunks freely
+        var off = 12
+        var channels = 0L; var rate = 0L; var bits = 0L; var frames = -1L
+        while (off + 8 <= p.length && (frames < 0 || channels == 0)) {
+          val id = new String(p.slice(off, off + 4), "US-ASCII")
+          val sz = rd32(p, off + 4)
+          if (id == "fmt ") {
+            require(rd16(p, off + 8) == 1, "WAV: not PCM")
+            channels = rd16(p, off + 10).toLong
+            rate = rd32(p, off + 12).toLong
+            bits = rd16(p, off + 22).toLong
+          } else if (id == "data") {
+            require(channels > 0, "WAV: data chunk before fmt")
+            frames = sz / (channels * bits / 8)
+          }
+          off += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+        require(frames >= 0, "WAV: no data chunk")
+        ("audio/wav", 0L, 0L, frames, rate, channels)
+      } else throw new IllegalArgumentException(
+        s"unknown media magic: ${p.take(4).map(b => f"$b%02x").mkString}")
     }
   }
 
-  /** documents → typed media rows (text payload as the opaque binary). */
+  /** Deterministic fixture parameters, closed-form in doc_id — the SAME
+    * formulas the DuckDB oracle evaluates independently of the byte path. */
+  private[ops] def bmpDims(id: Long): (Int, Int) =
+    (((id % 64) + 1).toInt, ((id % 48) + 1).toInt)
+  private[ops] def wavParams(id: Long): (Int, Int, Int) =
+    ((8000 + (id % 8) * 1000).toInt, (((id / 2) % 2) + 1).toInt,
+      ((id % 1000) + 1).toInt)
+
+  /** documents → typed media rows: even doc_id ⇒ BMP image, odd ⇒ WAV audio,
+    * generated as complete valid files (a deterministic stand-in for reading
+    * a binary media column off storage). */
   def mediaTable(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), lit("text/plain").as("kind"),
-        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
-        sha2(col("text"), 256).as("sha"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      if (id % 2 == 0) {
+        val (w, h) = bmpDims(id)
+        MediaRow(id, "image/bmp", MediaCodec.makeBmp(w, h, id))
+      } else {
+        val (rate, ch, frames) = wavParams(id)
+        MediaRow(id, "audio/wav", MediaCodec.makeWav(rate, ch, frames, id))
+      }
+    })
   }
 
-  /** Batched decode: one stub-codec invocation per partition batch — the
-    * shape a vectorized (Arrow/Pandas) UDF would take. */
+  /** Batched decode: one partition-iterator pass, parsing each payload's
+    * container header — the shape a vectorized (Arrow) codec stage takes. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { rows =>
-      rows.map { r =>
-        val (w, h, f) = MediaStub.decode(r.payload)
-        MediaFeatures(r.doc_id, r.kind, r.n_bytes, r.sha, w, h, f)
-      }
-    }
+    media.mapPartitions(_.map { r =>
+      val (kind, w, h, frames, rate, ch) = MediaCodec.decode(r.payload)
+      MediaFeatures(r.doc_id, kind, r.payload.length.toLong, w, h, frames,
+        rate, ch)
+    })
   }
 
-  /** Full pipeline as a DataFrame (payload dropped for the compare). */
+  /** Full pipeline as a DataFrame (payload dropped after decode). */
   def features(documents: DataFrame): DataFrame =
     extractFeatures(mediaTable(documents)).toDF()
-      .select("doc_id", "kind", "n_bytes", "sha", "width", "height", "n_frames")
+      .select("doc_id", "kind", "n_bytes", "width", "height", "n_frames",
+        "sample_rate", "channels")
       .orderBy("doc_id")
 }

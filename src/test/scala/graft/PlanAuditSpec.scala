@@ -83,6 +83,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("collect_list"), p)
   }
 
+  test("simhash: one exchange, 32 bit-sums as aggregate columns") {
+    val df = ops.Dedup.simhash(Corpus.documents(spark, sf))
+    val p = plan(df)
+    // the 32 bit-plane sums are conditional-sum aggregate COLUMNS over the
+    // raw token stream: exactly one doc_id hash exchange (plus the final
+    // orderBy's range exchange), no ×32 row explosion, no two-level groupBy
+    val hashEx = "hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 doc_id hash exchange, got $hashEx in:\n$p")
+    assert(!p.toLowerCase.contains("explode(sequence"), p)
+    val aggs = "\\bHashAggregate".r.findAllIn(p).length
+    assert(aggs == 2, s"expected partial+final aggregate only, got $aggs in:\n$p")
+  }
+
+  test("boolean NOT candidates: anti join, no distinct aggregates on the sets") {
+    val p = plan(eng.search("\"sort merge\" NOT \"hash join\""))
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("near-dup pairs plan is an LSH-bucket equi-join, never a cartesian") {
     val p = plan(ops.Similarity.nearDupPairs(Corpus.embeddings(spark, sf)))
     assert(!p.contains("CartesianProduct"), p)

@@ -1,0 +1,33 @@
+package graft
+
+import graft.corpus.Corpus
+import java.nio.file.Files
+
+class ServeSpec extends SparkSpec {
+
+  test("serving session: warm engine answers queries, pages, suggestions") {
+    val dir = Files.createTempDirectory("graft-serve").toString
+    val files = Corpus.files(spark, "/root/testdata/sf0.001")
+    checkpoint.CheckpointedBuild.run(files, dir, nBuckets = 2)
+    val s = new Serve.Session(spark, dir, files, s"$dir/querylog")
+    try {
+      val hits = s.handle("merge sort window")
+      assert(hits.size === 10)
+      assert(hits.forall(j => j.contains("\"doc_id\"") && j.contains("\"score\"")
+        && j.contains("\"path\"")))
+      // pagination: page 2 of 3 == rows 4-6 of the same ranking
+      val all = s.handle("merge sort window")
+      val p2 = s.handle(":page 2 3 merge sort window")
+      assert(p2 === all.slice(3, 6))
+      // phrase + boolean forms route through the same parser as the engine
+      assert(s.handle("\"hash join\"").nonEmpty)
+      // the session's queries accumulated in the log → suggestions see them
+      val sug = s.handle(":suggest merge")
+      assert(sug.exists(_.contains("merge sort window")))
+      // the repeated query outranks the once-asked ones
+      assert(sug.head.contains("\"cnt\":3"))
+      assert(s.handle("") === Seq.empty)
+      assert(s.handle(":page x") === Seq("""{"error": "usage: :page <p> <n> <query>"}"""))
+    } finally s.close()
+  }
+}

@@ -112,6 +112,59 @@ class CheckpointedBuildSpec extends SparkSpec {
     assert(changed.length === 1)
   }
 
+  test("incremental append rebuilds only the appended range's buckets") {
+    val dir = tmpDir("incr")
+    val b = files.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val width = math.max(1L, (hi - lo + 4) / 4)
+    val cut = lo + 3 * width
+    val domain = Some((lo, hi))
+    // initial load: only the first three buckets' id range has rows
+    CheckpointedBuild.run(files.filter(col("doc_id") < cut), dir,
+      nBuckets = 4, idDomain = domain)
+    val msBefore = CheckpointedBuild.readManifests(dir)
+    assert(msBefore.length === 4)
+    assert(msBefore.last.rows === 0L) // appended range still empty
+    val manifestBytes = (0 until 3).map(i =>
+      Files.readAllBytes(java.nio.file.Paths.get(s"$dir/manifest/bucket-$i.json")).toSeq)
+    val segMtimes = (0 until 3).map(i =>
+      Files.getLastModifiedTime(java.nio.file.Paths.get(s"$dir/segments/bucket=$i")))
+    // append: same id domain, full corpus — only bucket 3's slice changed
+    CheckpointedBuild.run(files, dir, nBuckets = 4, idDomain = domain)
+    val msAfter = CheckpointedBuild.readManifests(dir)
+    assert(msAfter.map(_.rows).sum === files.count())
+    assert(msAfter.last.rows > 0L)
+    // untouched buckets: manifests byte-identical, segment dirs untouched
+    for (i <- 0 until 3) {
+      assert(Files.readAllBytes(java.nio.file.Paths.get(
+        s"$dir/manifest/bucket-$i.json")).toSeq === manifestBytes(i), s"bucket $i")
+      assert(Files.getLastModifiedTime(java.nio.file.Paths.get(
+        s"$dir/segments/bucket=$i")) === segMtimes(i), s"bucket $i segments")
+    }
+    // appended result == fresh full build
+    val freshDir = tmpDir("incrFresh")
+    CheckpointedBuild.run(files, freshDir, nBuckets = 4, idDomain = domain)
+    assert(CheckpointedBuild.load(spark, dir)
+      .decoded(None).orderBy("term", "doc_id").collect().toSeq ===
+      CheckpointedBuild.load(spark, freshDir)
+        .decoded(None).orderBy("term", "doc_id").collect().toSeq)
+  }
+
+  test("resume with a smaller nBuckets cleans orphan buckets (no double merge)") {
+    val dir = tmpDir("shrink")
+    CheckpointedBuild.run(files, dir, nBuckets = 6)
+    assert(CheckpointedBuild.readManifests(dir).length === 6)
+    val stats = CheckpointedBuild.run(files, dir, nBuckets = 4)
+    assert(stats.nDocs === files.count()) // no double count from orphans
+    assert(CheckpointedBuild.readManifests(dir).length === 4)
+    val freshDir = tmpDir("shrinkFresh")
+    CheckpointedBuild.run(files, freshDir, nBuckets = 4)
+    assert(CheckpointedBuild.load(spark, dir)
+      .decoded(None).orderBy("term", "doc_id").collect().toSeq ===
+      CheckpointedBuild.load(spark, freshDir)
+        .decoded(None).orderBy("term", "doc_id").collect().toSeq)
+  }
+
   test("checkpointed search equals direct in-memory build") {
     val out = tmpDir("eq")
     CheckpointedBuild.run(files, out, nBuckets = 3)

@@ -84,16 +84,38 @@ class OpsSpec extends SparkSpec {
     assert(f1.toSeq === f2.toSeq)
   }
 
-  test("multimodal: mapPartitions stub equals column-derived metadata") {
-    val d = docs(1L -> "some payload text", 2L -> "another one")
-    val viaDs = Multimodal.features(d).collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6)))
-    val viaCols = d.select(col("doc_id"),
-        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n"))
-      .select(col("doc_id"), col("n"), (col("n") % 640 + 1).as("w"),
-        ((col("n") * 7) % 480 + 1).as("h"), (col("n") % 16 + 1).as("f"))
-      .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    assert(viaDs.toSeq === viaCols.toSeq)
+  test("multimodal: parsed header fields equal the generator's closed forms") {
+    val d = docs(2L -> "ignored", 7L -> "ignored", 64L -> "ignored",
+      1001L -> "ignored")
+    val got = Multimodal.features(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    for (id <- Seq(2L, 64L)) { // even → BMP
+      val (w, h) = Multimodal.bmpDims(id)
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      assert(got(id) === (("image/bmp", 54L + h.toLong * rowBytes, w.toLong,
+        h.toLong, 1L, 0L, 0L)))
+    }
+    for (id <- Seq(7L, 1001L)) { // odd → WAV
+      val (rate, ch, frames) = Multimodal.wavParams(id)
+      assert(got(id) === (("audio/wav", 44L + frames.toLong * ch * 2,
+        0L, 0L, frames.toLong, rate.toLong, ch.toLong)))
+    }
+  }
+
+  test("multimodal: codec round-trips and rejects malformed payloads") {
+    import Multimodal.MediaCodec
+    // decode reads the BYTES, so a hand-mutated header must be believed...
+    val bmp = MediaCodec.makeBmp(13, 9, seed = 5L)
+    assert(MediaCodec.decode(bmp) === (("image/bmp", 13L, 9L, 1L, 0L, 0L)))
+    val wav = MediaCodec.makeWav(11000, 2, 123, seed = 5L)
+    assert(MediaCodec.decode(wav) === (("audio/wav", 0L, 0L, 123L, 11000L, 2L)))
+    // ...and malformed containers rejected, not defaulted
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode("notmedia".getBytes("US-ASCII"))
+    }
+    val truncated = bmp.clone()
+    java.util.Arrays.fill(truncated, 2, 6, 0.toByte) // lie about file size
+    intercept[IllegalArgumentException] { MediaCodec.decode(truncated) }
   }
 }
