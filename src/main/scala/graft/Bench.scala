@@ -401,6 +401,11 @@ object Bench {
          ||---|---|
          |${"@@ROWS@@"}
          |
+         |Adaptive-gate crossovers (phrase substring-vs-positional, pruned
+         |vs exhaustive) are measured separately on a 1.2M/4.8M/9.6M-doc
+         |ladder by `graft.GateBench` — see GATES.md / GATES.json for the
+         |numbers that set `PhraseGateDocs` (∞) and `PruneGateDocs` (64M).
+         |
          |## Method notes
          |
          |- Each build measurement runs in its own forked JVM with an

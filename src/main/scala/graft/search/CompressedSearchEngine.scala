@@ -359,9 +359,17 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
 
 object CompressedSearchEngine {
   /** Corpus size above which adaptive MaxScore pruning pays for its extra
-    * driver round-trips (see [[CompressedSearchEngine.searchPruned]]). */
+    * driver round-trips (see [[CompressedSearchEngine.searchPruned]]).
+    *
+    * MEASURED at the design point (GateBench, 32 cores, 3-term query,
+    * median of 3): exhaustive vs forced-pruned was 0.73 s/1.42 s at 1.2M
+    * docs, 2.66/4.57 at 4.8M, 6.36/8.90 at 9.6M — the ratio narrows
+    * 1.95× → 1.72× → 1.40× as the decode work the prune saves grows
+    * against its fixed 3-round-trip cost; extrapolating the trend the
+    * crossover sits around 5·10^7–10^8 docs, so the default gate is 64M
+    * (the round-2 10M default was an unmeasured extrapolation). */
   val PruneGateDocs: Long =
-    sys.env.get("SPARK_GRAFT_PRUNE_GATE").map(_.toLong).getOrElse(10_000_000L)
+    sys.env.get("SPARK_GRAFT_PRUNE_GATE").map(_.toLong).getOrElse(64_000_000L)
 
   /** Dictionary-expansion cap for the phrase adjacency pre-filter: if a
     * boundary token expands to more terms than this (e.g. a one-letter
@@ -372,7 +380,21 @@ object CompressedSearchEngine {
 
   /** Corpus size above which the phrase path switches from the
     * substring-scan-over-candidates plan to the positional adjacency
-    * pre-filter (see [[CompressedSearchEngine.phraseCandidates]]). */
+    * pre-filter (see [[CompressedSearchEngine.phraseCandidates]]).
+    *
+    * MEASURED (GateBench ladder, 32 cores): both plans are LINEAR in corpus
+    * size or worse — substring 2.40 s / 5.11 s / 10.50 s at 1.2M / 4.8M /
+    * 9.6M docs vs positional 16.4 / 106 / 256 s — because the substring
+    * verify scans candidate CONTENT at memchr speed while the adjacency
+    * pass shuffles and aggregates per-OCCURRENCE rows of the query terms,
+    * and on a code-token corpus occurrences outnumber candidate bytes'
+    * effective cost ~10×. There is NO crossover: the round-2 10M gate was
+    * extrapolated from a single 60k point and is refuted by the ladder, so
+    * the default is the substring plan at every size (gate = ∞). The
+    * positional plan remains available (forcePositional / this env knob)
+    * for corpora where content is large relative to query-term postings —
+    * e.g. long documents with rare phrase tokens — which the replicated
+    * code corpus cannot represent. */
   val PhraseGateDocs: Long =
-    sys.env.get("SPARK_GRAFT_PHRASE_GATE").map(_.toLong).getOrElse(10_000_000L)
+    sys.env.get("SPARK_GRAFT_PHRASE_GATE").map(_.toLong).getOrElse(Long.MaxValue)
 }
