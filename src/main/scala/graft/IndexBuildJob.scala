@@ -89,8 +89,13 @@ object IndexBuildJob {
     * Iceberg-partitioned 100 TB input would give. */
   def corpusOf(spark: SparkSession, sfDir: String, outDir: String,
                targetFiles: Long): (org.apache.spark.sql.DataFrame, Long) = {
-    val docs = corpus.Corpus.documents(spark, sfDir)
-    val n = docs.count()
+    val docs0 = corpus.Corpus.documents(spark, sfDir)
+    val n = docs0.count()
+    // the sf documents table is ONE parquet file: without a repartition the
+    // whole replicate+md5+sha2 chain below runs as a single task (measured
+    // 31 s single-threaded at 1.92M files — untimed but real wall per fork)
+    val docs = docs0.repartition(
+      math.max(32, spark.sparkContext.defaultParallelism * 4))
     val r = math.max(1L, targetFiles / n)
     // replicated id is materialized in its own select first so the
     // repo/path/commit derivations below see the NEW doc_id (inside one
