@@ -219,4 +219,35 @@ object OpsOracles {
       |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + (doc_id % 8) * 1000 END AS sample_rate,
       |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE ((doc_id // 2) % 2) + 1 END AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Closed-form expected values AFTER downsampling (resize maxDim=16,
+    * frame-stride 4) — the Spark side re-decodes the transformed bytes, so
+    * agreement certifies the real nearest-neighbor / decimation
+    * arithmetic, not a metadata pass-through. */
+  val multimodalDownsample: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    (doc_id % 64) + 1 AS w0, (doc_id % 48) + 1 AS h0,
+      |    (doc_id % 1000) + 1 AS f0,
+      |    ((doc_id // 2) % 2) + 1 AS ch,
+      |    8000 + (doc_id % 8) * 1000 AS rate
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, ch, rate,
+      |    CASE WHEN greatest(w0, h0) <= 16 THEN w0
+      |         ELSE greatest(1, w0 * 16 // greatest(w0, h0)) END AS wr,
+      |    CASE WHEN greatest(w0, h0) <= 16 THEN h0
+      |         ELSE greatest(1, h0 * 16 // greatest(w0, h0)) END AS hr,
+      |    (f0 + 3) // 4 AS fr
+      |  FROM p)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS kind,
+      |  CASE WHEN doc_id % 2 = 0 THEN 54 + hr * ((wr * 3 + 3) // 4 * 4)
+      |       ELSE 44 + fr * ch * 2 END AS n_bytes,
+      |  CASE WHEN doc_id % 2 = 0 THEN wr ELSE 0 END AS width,
+      |  CASE WHEN doc_id % 2 = 0 THEN hr ELSE 0 END AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE fr END AS n_frames,
+      |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE rate END AS sample_rate,
+      |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE ch END AS channels
+      |FROM d ORDER BY doc_id""".stripMargin
 }

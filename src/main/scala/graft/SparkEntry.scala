@@ -168,6 +168,10 @@ object SparkEntry {
       ops.TextAnalysis.fingerprint(Corpus.documents(s, dir))),
     "q_multimodal" -> ((s, dir) =>
       ops.Multimodal.features(Corpus.documents(s, dir))),
+    // resize (images, nearest-neighbor to maxDim 16) + frame-sample (audio,
+    // stride 4), fields re-decoded from the TRANSFORMED bytes
+    "q_multimodal_downsample" -> ((s, dir) =>
+      ops.Multimodal.downsampledFeatures(Corpus.documents(s, dir))),
     // Structured Streaming: windowed event-time agg == batch oracle
     "q_stream_window" -> ((s, dir) =>
       streaming.StreamingOps.windowedEventCounts(s, dir)),
@@ -331,6 +335,7 @@ object SparkEntry {
       "q_tokcount" -> OpsOracles.tokenCounts,
       "q_fingerprint" -> OpsOracles.fingerprint,
       "q_multimodal" -> OpsOracles.multimodal,
+      "q_multimodal_downsample" -> OpsOracles.multimodalDownsample,
       "q_stream_sessions" ->
         """WITH d AS (
           |  SELECT user_id, epoch_ms(ts) AS ts_ms, value,

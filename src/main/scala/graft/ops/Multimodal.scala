@@ -107,6 +107,72 @@ object Multimodal {
       b
     }
 
+    /** Nearest-neighbor resize of a 24-bpp BMP so max(width, height) ≤
+      * `maxDim` (no-op if already within). Operates purely on the bytes:
+      * parses the source header, samples pixel rows/columns, re-encodes a
+      * complete valid BMP. */
+    def resizeBmp(p: Array[Byte], maxDim: Int): Array[Byte] = {
+      require(p.length >= 54 && p(0) == 'B' && p(1) == 'M', "not a BMP")
+      require(rd16(p, 28) == 24, "resize supports 24-bpp only")
+      val w = rd32(p, 18); val h = rd32(p, 22)
+      val m = math.max(w, h)
+      if (m <= maxDim) return p
+      val wr = math.max(1, w * maxDim / m)
+      val hr = math.max(1, h * maxDim / m)
+      val srcRow = (w * 3 + 3) / 4 * 4
+      val dstRow = (wr * 3 + 3) / 4 * 4
+      val out = new Array[Byte](54 + hr * dstRow)
+      System.arraycopy(p, 0, out, 0, 54)
+      le32(out, 2, out.length)
+      le32(out, 18, wr)
+      le32(out, 22, hr)
+      le32(out, 34, hr * dstRow)
+      var y = 0
+      while (y < hr) {
+        val sy = y * h / hr
+        var x = 0
+        while (x < wr) {
+          val sx = x * w / wr
+          var c = 0
+          while (c < 3) {
+            out(54 + y * dstRow + 3 * x + c) = p(54 + sy * srcRow + 3 * sx + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Frame-sample (decimate) a 16-bit PCM WAV: keep every `stride`-th
+      * frame across all channels (⌈frames/stride⌉ survive), re-encoded as a
+      * complete valid WAV with the same rate/channels. */
+    def sampleWav(p: Array[Byte], stride: Int): Array[Byte] = {
+      require(stride >= 1)
+      val (_, _, _, frames, rate, channels) = decode(p)
+      require(rate > 0 && channels > 0, "not a WAV")
+      // canonical layout only (fmt at 12, data at 36, 16-bit) — what the
+      // encoder emits; decode()'s chunk walk is the general reader
+      require(p(36) == 'd' && p(37) == 'a' && p(38) == 't' && p(39) == 'a',
+        "sampleWav requires the canonical chunk layout")
+      require(rd16(p, 34) == 16, "sampleWav supports 16-bit PCM only")
+      if (stride == 1) return p
+      val blockAlign = channels.toInt * 2
+      val outFrames = ((frames + stride - 1) / stride).toInt
+      val out = new Array[Byte](44 + outFrames * blockAlign)
+      System.arraycopy(p, 0, out, 0, 44)
+      le32(out, 4, 36 + outFrames * blockAlign)
+      le32(out, 40, outFrames * blockAlign)
+      var i = 0
+      while (i < outFrames) {
+        System.arraycopy(p, 44 + i * stride * blockAlign,
+          out, 44 + i * blockAlign, blockAlign)
+        i += 1
+      }
+      out
+    }
+
     /** Parse the container header: (kind, width, height, n_frames,
       * sample_rate, channels). Rejects unknown magic / malformed headers. */
     def decode(p: Array[Byte]): (String, Long, Long, Long, Long, Long) = {
@@ -183,6 +249,33 @@ object Multimodal {
   /** Full pipeline as a DataFrame (payload dropped after decode). */
   def features(documents: DataFrame): DataFrame =
     extractFeatures(mediaTable(documents)).toDF()
+      .select("doc_id", "kind", "n_bytes", "width", "height", "n_frames",
+        "sample_rate", "channels")
+      .orderBy("doc_id")
+
+  /** Batched resize / frame-sample: images nearest-neighbor-resized so
+    * max(w, h) ≤ `maxDim`, audio decimated to every `stride`-th frame —
+    * the normalize step of a training-data media pipeline. Byte-level and
+    * narrow (one mapPartitions, no shuffle); output payloads are complete
+    * valid files again, so downstream stages need no special casing. */
+  def downsample(media: Dataset[MediaRow], maxDim: Int = 16,
+                 stride: Int = 4): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val out =
+        if (r.kind == "image/bmp") MediaCodec.resizeBmp(r.payload, maxDim)
+        else MediaCodec.sampleWav(r.payload, stride)
+      MediaRow(r.doc_id, r.kind, out)
+    })
+  }
+
+  /** Downsample + re-decode: every output field is parsed back OUT OF the
+    * transformed bytes (not carried through), so the oracle certifies the
+    * real resize/decimation arithmetic. */
+  def downsampledFeatures(documents: DataFrame, maxDim: Int = 16,
+                          stride: Int = 4): DataFrame =
+    extractFeatures(downsample(mediaTable(documents), maxDim, stride)).toDF()
       .select("doc_id", "kind", "n_bytes", "width", "height", "n_frames",
         "sample_rate", "channels")
       .orderBy("doc_id")

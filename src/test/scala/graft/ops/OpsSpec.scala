@@ -103,6 +103,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: resize and frame-sample transform the actual bytes") {
+    import Multimodal.MediaCodec
+    // resize: 40x30 → maxDim 16 ⇒ 16x12, and sampled pixels come from the
+    // nearest-neighbor source positions
+    val src = MediaCodec.makeBmp(40, 30, seed = 9L)
+    val small = MediaCodec.resizeBmp(src, 16)
+    assert(MediaCodec.decode(small) === (("image/bmp", 16L, 12L, 1L, 0L, 0L)))
+    val srcRow = (40 * 3 + 3) / 4 * 4
+    val dstRow = (16 * 3 + 3) / 4 * 4
+    for ((x, y) <- Seq((0, 0), (7, 5), (15, 11))) {
+      val (sx, sy) = (x * 40 / 16, y * 30 / 12)
+      assert((0 until 3).forall(c =>
+        small(54 + y * dstRow + 3 * x + c) == src(54 + sy * srcRow + 3 * sx + c)),
+        s"pixel ($x,$y) not sourced from ($sx,$sy)")
+    }
+    // within maxDim → unchanged payload
+    assert(MediaCodec.resizeBmp(MediaCodec.makeBmp(10, 8, 1L), 16).length ===
+      MediaCodec.makeBmp(10, 8, 1L).length)
+    // frame-sample: 10 frames, stride 4 ⇒ frames 0,4,8 survive byte-for-byte
+    val wav = MediaCodec.makeWav(8000, 2, 10, seed = 9L)
+    val dec = MediaCodec.sampleWav(wav, 4)
+    assert(MediaCodec.decode(dec) === (("audio/wav", 0L, 0L, 3L, 8000L, 2L)))
+    val ba = 2 * 2
+    for ((outF, srcF) <- Seq((0, 0), (1, 4), (2, 8)))
+      assert((0 until ba).forall(i =>
+        dec(44 + outF * ba + i) == wav(44 + srcF * ba + i)), s"frame $outF")
+  }
+
   test("multimodal: codec round-trips and rejects malformed payloads") {
     import Multimodal.MediaCodec
     // decode reads the BYTES, so a hand-mutated header must be believed...
