@@ -1,9 +1,39 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.checkpoint.CheckpointedBuild
+
+/** Accumulates per-stage executor CPU time and per-task durations so the
+  * timed build can report (a) CPU utilization — the window-contamination
+  * detector: host co-tenant theft deschedules threads, so wall grows while
+  * JVM CPU counters stall and utilization collapses (a clean 4-core window
+  * measures ≈0.95) — and (b) task skew (max/median task duration over
+  * stages with ≥ 8 tasks, SURVEY §7.4-5's salted-build promise). */
+private final class BuildMetricsListener extends SparkListener {
+  import scala.collection.concurrent.TrieMap
+  import scala.collection.mutable.ArrayBuffer
+  private val stageCpu = TrieMap.empty[Int, Long] // ns
+  private val taskDur = TrieMap.empty[Int, ArrayBuffer[Long]] // ms
+  def reset(): Unit = { stageCpu.clear(); taskDur.clear() }
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+    stageCpu.put(sc.stageInfo.stageId, sc.stageInfo.taskMetrics.executorCpuTime)
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+    if (te.taskInfo != null && te.taskInfo.successful)
+      taskDur.getOrElseUpdate(te.stageId, ArrayBuffer.empty)
+        .synchronized { taskDur(te.stageId) += te.taskInfo.duration }
+  def cpuSec: Double = stageCpu.values.sum / 1e9
+  /** max over ≥8-task stages of max/median task duration (1.0 if none). */
+  def taskSkew: Double = {
+    val ratios = taskDur.values.toSeq.filter(_.length >= 8).map { ds =>
+      val s = ds.toSeq.sorted
+      val med = math.max(1L, s(s.length / 2))
+      s.last.toDouble / med
+    }
+    if (ratios.isEmpty) 1.0 else ratios.max
+  }
+}
 
 /** spark-submit entry point for the index build (north rule: "runs via
   * spark-submit ... at N and 4N executors").
@@ -64,18 +94,36 @@ object IndexBuildJob {
     def corpusOf(targetFiles: Long) =
       IndexBuildJob.corpusOf(spark, sfDir, outDir, targetFiles)
 
+    val metrics = new BuildMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     if (warmupFiles > 0) {
       val (wf, _) = corpusOf(warmupFiles)
       CheckpointedBuild.run(wf, s"${outDir}_warm", nBuckets = 4, saltBuckets = 32)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"${outDir}_warm"))
     }
     val (files, nFiles) = corpusOf(target)
+    metrics.reset() // measure the timed build only
+    val steal0 = IndexBuildJob.stealJiffies
     val t0 = System.nanoTime()
     CheckpointedBuild.run(files, outDir, nBuckets = 4, saltBuckets = 32)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"build_sec": $sec%.3f, "files": $nFiles, "files_per_sec": ${nFiles / sec}%.1f, "parallelism": $par}""")
+    val stealSec = (IndexBuildJob.stealJiffies - steal0) / 100.0
+    // listener events are posted async — give the bus a moment to drain
+    Thread.sleep(300)
+    val cpu = metrics.cpuSec
+    val util = cpu / (sec * par)
+    println(f"""{"build_sec": $sec%.3f, "files": $nFiles, "files_per_sec": ${nFiles / sec}%.1f, "parallelism": $par, "cpu_sec": $cpu%.3f, "util": $util%.4f, "task_skew": ${metrics.taskSkew}%.3f, "steal_sec": $stealSec%.2f}""")
     spark.stop()
   }
+
+  /** Cumulative host-steal jiffies from /proc/stat (field 8 after "cpu") —
+    * nonzero deltas during a timed run mean the hypervisor descheduled this
+    * guest's vCPUs (co-tenant contention), i.e. the wall time is
+    * contaminated. Returns 0 when unreadable. */
+  def stealJiffies: Long = scala.util.Try {
+    val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+    line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L)
+  }.getOrElse(0L)
 
   /** Deterministic replicated benchmark corpus, written once as
     * doc_id-range-sorted parquet at `$outDir-corpus` and read back — the

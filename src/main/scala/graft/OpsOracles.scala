@@ -114,7 +114,11 @@ object OpsOracles {
     .map(d => s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1L << d} ELSE 0 END)")
     .mkString(" + ")
 
-  val annLsh: String =
+  /** Multi-probe (all buckets within the probe ring) == membership is
+    * Hamming(bucket, qbucket) ≤ radius, expressed via xor + bit_count. */
+  val annLsh: String = annLshAt(graft.ops.Similarity.AnnProbeRadius)
+
+  def annLshAt(radius: Int): String =
     s"""WITH b AS (
        |  SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
        |  FROM embeddings
@@ -123,7 +127,8 @@ object OpsOracles {
        |d AS (
        |  SELECT e.vec_id,
        |    ${cosSums("e.embedding", "q.qv")}
-       |  FROM b e JOIN q ON e.bucket = q.bucket, range(1, 65) r(i)
+       |  FROM b e JOIN q ON bit_count(xor(e.bucket, q.bucket)) <= $radius,
+       |       range(1, 65) r(i)
        |  GROUP BY e.vec_id
        |)
        |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos

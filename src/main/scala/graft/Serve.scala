@@ -26,6 +26,23 @@ import graft.search.QueryLog
   */
 object Serve {
 
+  /** Minimal RFC 8259 string encoder (quotes, backslashes, control chars)
+    * for the error channel — protocol lines must stay parseable JSON no
+    * matter what an exception message contains. */
+  def jsonString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
   /** One warm serving session over a published checkpoint dir. */
   final class Session(spark: SparkSession, ckptDir: String, corpus: DataFrame,
                       logPath: String) {
@@ -50,7 +67,11 @@ object Serve {
     }
 
     def suggest(prefix: String): DataFrame =
-      QueryLog.suggest(QueryLog.load(spark, logPath), prefix)
+      // a :suggest before any logged query means no log table yet — that's
+      // an empty suggestion list, not a missing-path error
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(logPath)))
+        spark.range(0).select(lit("").as("query"), lit(0L).as("cnt"))
+      else QueryLog.suggest(QueryLog.load(spark, logPath), prefix)
 
     /** One protocol line → result rows rendered as JSON strings. */
     def handle(line: String): Seq[String] = {
@@ -91,7 +112,11 @@ object Serve {
       .foreach { line =>
         try session.handle(line).foreach(println)
         catch { case e: Exception =>
-          println(s"""{"error": "${e.getMessage.replace("\"", "'")}"}""") }
+          // getMessage can be null, and messages may carry quotes/newlines/
+          // backslashes — encode as a real JSON string so the serving loop
+          // never emits a malformed line or dies on an NPE
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          println(s"""{"error": ${Serve.jsonString(msg)}}""") }
       }
     session.close()
     spark.stop()

@@ -135,8 +135,10 @@ object SparkEntry {
       val domain = Some((lo, hi))
       graft.checkpoint.CheckpointedBuild.run(files.filter(col("doc_id") < cut),
         out, nBuckets = 4, idDomain = domain)
+      // append run carries the delta's id range (snapshot metadata at the
+      // Iceberg seam): re-validation scans only the buckets it intersects
       graft.checkpoint.CheckpointedBuild.run(files, out, nBuckets = 4,
-        idDomain = domain)
+        idDomain = domain, changedIds = Some((cut, hi)))
       graft.checkpoint.CheckpointedBuild.load(s, out)
         .searchTopK(Seq("merge", "sort", "window"))
     }),

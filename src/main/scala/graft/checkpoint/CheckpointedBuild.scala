@@ -40,6 +40,11 @@ object CheckpointedBuild {
   /** Test hook: thrown when `failAfterBuckets` is reached. */
   final class InjectedFailure(msg: String) extends RuntimeException(msg)
 
+  /** Diagnostic: rows scanned by the last run's resume re-validation job
+    * (0 when it didn't run). Tests assert a `changedIds`-scoped append run
+    * validates only the changed buckets' rows, not the whole corpus. */
+  @volatile private[graft] var lastValidationRows: Long = 0L
+
   private def manifestPath(outDir: String, b: Int) =
     Paths.get(s"$outDir/manifest/bucket-$b.json")
 
@@ -104,14 +109,31 @@ object CheckpointedBuild {
     * allocated id domain on every run: boundaries stay fixed, so appending
     * a doc_id range re-validates untouched buckets as identical (snapshot
     * hash match → skipped) and rebuilds only the buckets the new rows land
-    * in — the offline analog of Iceberg snapshot-delta processing. */
+    * in — the offline analog of Iceberg snapshot-delta processing.
+    *
+    * `changedIds`: the doc_id range `(lo, hi)` inclusive that this run's
+    * input may differ in from the manifests' recorded state — on Iceberg
+    * this is snapshot-delta metadata (the appended/rewritten files' id
+    * bounds), free to obtain. When set (requires a pinned `idDomain`), the
+    * resume re-validation scans ONLY the buckets intersecting that range —
+    * the doc_id range filter prunes parquet row groups / Iceberg files via
+    * min/max stats, so an append run's validation cost scales with the
+    * delta, not the table (a full-corpus doc_id+sha scan per append run is
+    * a 100 TB-scale full-table scan). Out-of-range completed buckets get a
+    * cheap integrity check (manifest complete + segment dir present)
+    * instead. This is a CONTRACT: rows outside `changedIds` must be
+    * byte-identical to the state the manifests recorded — exactly the
+    * guarantee snapshot metadata gives. */
   def run(files: DataFrame, outDir: String, nBuckets: Int = 8,
           saltBuckets: Int = 32, analyzer: String = "simple",
           failAfterBuckets: Int = Int.MaxValue,
           bucketConc: Int = -1,
           io: graft.sources.TableIO = graft.sources.ParquetTableIO,
           verifyResume: Boolean = true,
-          idDomain: Option[(Long, Long)] = None): BuildStats = {
+          idDomain: Option[(Long, Long)] = None,
+          changedIds: Option[(Long, Long)] = None): BuildStats = {
+    require(changedIds.isEmpty || idDomain.isDefined,
+      "changedIds requires a pinned idDomain (bucket boundaries must not move)")
     val spark = files.sparkSession
     Files.createDirectories(Paths.get(outDir))
     // Orphan cleanup (ADVICE r2): a previous build with a LARGER nBuckets may
@@ -138,28 +160,62 @@ object CheckpointedBuild {
     }
     val width = math.max(1L, (maxId - minId + nBuckets) / nBuckets)
 
+    // input containment: with an explicit idDomain, doc_ids outside
+    // [minId, maxId] would fall into no bucket slice and silently vanish
+    // from the index. One narrow doc_id-only min/max agg guards that seam
+    // (on Iceberg this is column-stats metadata; on parquet a stats-driven
+    // single-column scan).
+    if (idDomain.isDefined) {
+      val bounds = files.agg(min("doc_id"), max("doc_id")).head()
+      if (!bounds.isNullAt(0))
+        require(bounds.getLong(0) >= minId && bounds.getLong(1) <= maxId,
+          s"input doc_ids [${bounds.getLong(0)}, ${bounds.getLong(1)}] exceed " +
+            s"the pinned idDomain [$minId, $maxId] — rows outside it would be " +
+            "silently dropped from the index")
+    }
+
     // resume validation: invalidate manifests whose snapshot no longer
-    // matches the current input slice (ADVICE round 1)
+    // matches the current input slice (ADVICE round 1). With `changedIds`
+    // the scan is scoped to the buckets intersecting the changed range
+    // (delta-metadata contract above); other completed buckets only need
+    // their on-disk artifacts present.
     val completedBefore = (0 until nBuckets).filter(isComplete(outDir, _))
     if (verifyResume && completedBefore.nonEmpty) {
       val ms = readManifests(outDir).map(m => m.partition_id -> m).toMap
-      val cur = files
+      val scope: Option[(Int, Int)] = changedIds.map { case (clo, chi) =>
+        (math.max(0, ((clo - minId) / width).toInt),
+          math.min(nBuckets - 1, ((chi - minId) / width).toInt))
+      }
+      val inScope: Int => Boolean =
+        scope.fold((_: Int) => true) { case (bLo, bHi) => b => b >= bLo && b <= bHi }
+      val scoped = scope.fold(files) { case (bLo, bHi) =>
+        files.filter(col("doc_id") >= minId + bLo * width &&
+          col("doc_id") < minId + (bHi + 1L) * width)
+      }
+      val cur = scoped
         .groupBy(expr(s"CAST((doc_id - $minId) DIV $width AS INT)").as("b"))
         .agg(count(lit(1)).as("rows"),
           bit_xor(xxhash64(col("doc_id"), col("sha"))).as("snap"))
         .collect()
         .map(r => r.getInt(0) -> ((r.getLong(1),
           java.lang.Long.toHexString(r.getLong(2))))).toMap
-      val stale = completedBefore.filter { b =>
+      lastValidationRows = cur.values.map(_._1).sum
+      val stale = completedBefore.filter(inScope).filter { b =>
         val m = ms(b)
         val (rows, snap) = cur.getOrElse(b, (0L, "empty"))
         val curSnap = if (rows == 0L) "empty" else snap
         m.rows != rows || m.snapshot_id != curSnap
       }
-      stale.foreach { b =>
+      // out-of-scope buckets: artifacts must still exist (manifest said
+      // complete; a missing segment dir means someone deleted data)
+      val broken = completedBefore.filterNot(inScope).filter { b =>
+        ms(b).rows > 0 &&
+          !Files.isDirectory(Paths.get(s"$outDir/segments/bucket=$b"))
+      }
+      (stale ++ broken).foreach { b =>
         Files.deleteIfExists(manifestPath(outDir, b))
       }
-    }
+    } else lastValidationRows = 0L
 
     def buildBucket(b: Int): Unit = {
         val lo = minId + b * width

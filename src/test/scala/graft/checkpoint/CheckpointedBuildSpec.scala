@@ -129,8 +129,15 @@ class CheckpointedBuildSpec extends SparkSpec {
       Files.readAllBytes(java.nio.file.Paths.get(s"$dir/manifest/bucket-$i.json")).toSeq)
     val segMtimes = (0 until 3).map(i =>
       Files.getLastModifiedTime(java.nio.file.Paths.get(s"$dir/segments/bucket=$i")))
-    // append: same id domain, full corpus — only bucket 3's slice changed
-    CheckpointedBuild.run(files, dir, nBuckets = 4, idDomain = domain)
+    // append: same id domain, full corpus — only bucket 3's slice changed;
+    // changedIds scopes the resume re-validation to that bucket's range
+    CheckpointedBuild.run(files, dir, nBuckets = 4, idDomain = domain,
+      changedIds = Some((cut, hi)))
+    // the validation job scanned ONLY the appended range's rows — an append
+    // into a 100 TB table must not pay a full-corpus doc_id+sha scan
+    val appendedRows = files.filter(col("doc_id") >= cut).count()
+    assert(CheckpointedBuild.lastValidationRows === appendedRows)
+    assert(appendedRows < files.count())
     val msAfter = CheckpointedBuild.readManifests(dir)
     assert(msAfter.map(_.rows).sum === files.count())
     assert(msAfter.last.rows > 0L)

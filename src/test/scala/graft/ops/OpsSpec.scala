@@ -52,14 +52,27 @@ class OpsSpec extends SparkSpec {
     assert(got.last.getLong(0) === 2L)
   }
 
-  test("lsh ann returns the query's bucket only, ranked by cosine") {
+  test("lsh ann probes the Hamming-radius ring, ranked by cosine") {
     val e = Seq(
       (0L, Array.fill(8)(1.0f) ++ Array.fill(4)(0.5f), 0),
       (1L, Array.fill(8)(0.9f) ++ Array.fill(4)(0.4f), 0),
-      (2L, Array.fill(8)(-1.0f) ++ Array.fill(4)(0.5f), 1) // different bucket
+      // one sign bit flipped vs the query: reachable by multi-probe only
+      (3L, (Array.fill(7)(1.0f) :+ -1.0f) ++ Array.fill(4)(0.5f), 0),
+      (2L, Array.fill(8)(-1.0f) ++ Array.fill(4)(0.5f), 1) // Hamming 8: excluded
     ).toDF("vec_id", "embedding", "label")
-    val got = Similarity.annLsh(e, 0, 10).collect().map(_.getLong(0)).toSeq
-    assert(got === Seq(0L, 1L))
+    // radius 1: exactly the 1-flip ring
+    val r1 = Similarity.annLsh(e, 0, 10, radius = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r1 === Seq(0L, 1L, 3L))
+    // radius 0 (single probe): only the exact bucket
+    val r0 = Similarity.annLsh(e, 0, 10, radius = 0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r0 === Seq(0L, 1L))
+    // default (fixture-measured) radius still excludes the antipodal bucket
+    val rd = Similarity.annLsh(e, 0, 10).collect().map(_.getLong(0)).toSeq
+    assert(rd === Seq(0L, 1L, 3L))
+    assert(Similarity.probeMasks(8, 1).length === 9)
+    assert(Similarity.probeMasks(8, 4).length === 163)
   }
 
   test("langid picks profile with most marker hits, und when none") {

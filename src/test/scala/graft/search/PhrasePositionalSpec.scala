@@ -48,7 +48,8 @@ class PhrasePositionalSpec extends SparkSpec {
 
   test("adjacency pre-filter alone is a sound superset (keeps every " +
       "substring match, drops the non-adjacent doc)") {
-    val adj = ce.adjacencyCandidates(Seq("hash", "join")).get
+    val adj = ce.adjacencyCandidates(Seq("hash", "join"),
+        ce.candidatesAll(Seq("hash", "join"))).get
       .collect().map(_.getLong(0)).toSet
     assert(Set(0L, 1L, 3L).subsetOf(adj))
     assert(!adj.contains(2L))
