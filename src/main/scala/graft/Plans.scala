@@ -58,6 +58,13 @@ object Plans {
         "Expect: left-semi joins for candidate membership; no full " +
           "materialization of either candidate set.",
         eng.search("\"hash join\" AND \"merge sort\"")),
+      ("Boolean query over the compressed engine (shared verify scan)",
+        "Expect: ONE scan of the corpus parquet — both phrases' candidate " +
+          "sets union with membership flags (doc_id-scale rows), content is " +
+          "hydrated once for the union, `graft_ascii_lower(content)` is " +
+          "projected once and both `contains` predicates evaluate as columns " +
+          "on it. The two-scans-of-files shape cost bool_or 2× bool_and (r3).",
+        ceng.search("\"hash join\" OR \"merge sort\"", files)),
       ("Index build stage 1: salted segment runs",
         "Expect: ONE fused tokenize+compact eval per document (a single " +
           "graft_compact_tokens — tf, len, and wire-encoded positions ride " +

@@ -413,19 +413,21 @@ object CompressedSearchEngine {
     * substring-scan-over-candidates plan to the positional adjacency
     * pre-filter (see [[CompressedSearchEngine.phraseCandidates]]).
     *
-    * MEASURED (GateBench ladder, 32 cores): both plans are LINEAR in corpus
-    * size or worse — substring 2.40 s / 5.11 s / 10.50 s at 1.2M / 4.8M /
-    * 9.6M docs vs positional 16.4 / 106 / 256 s — because the substring
-    * verify scans candidate CONTENT at memchr speed while the adjacency
-    * pass shuffles and aggregates per-OCCURRENCE rows of the query terms,
-    * and on a code-token corpus occurrences outnumber candidate bytes'
-    * effective cost ~10×. There is NO crossover: the round-2 10M gate was
-    * extrapolated from a single 60k point and is refuted by the ladder, so
-    * the default is the substring plan at every size (gate = ∞). The
-    * positional plan remains available (forcePositional / this env knob)
-    * for corpora where content is large relative to query-term postings —
-    * e.g. long documents with rare phrase tokens — which the replicated
-    * code corpus cannot represent. */
+    * MEASURED (GateBench ladder, 32 cores; re-run in round 4 after the
+    * candidate semi-join fix in [[adjacencyCandidates]]): substring
+    * 3.17 / 4.84 / 9.70 s at 1.2M / 4.8M / 9.6M docs vs positional
+    * 13.8 / 71.2 / 121.3 s (r3 pre-fix: 16.4 / 106 / 256 — the fix removed
+    * the shuffle-spill cliff, 2.1× at 9.6M, and the top step is sub-linear
+    * now). The substring verify scans candidate CONTENT at memchr speed
+    * while the adjacency pass shuffles the candidate docs' per-OCCURRENCE
+    * rows of the query/slot terms — on a high-tf code corpus the
+    * conjunctive candidates hold most of their query terms' occurrences,
+    * so the gap (4.4–14.7×) is structural, not a plan bug. No crossover on
+    * this corpus shape: the default stays the substring plan at every size
+    * (gate = ∞). The positional plan remains available (forcePositional /
+    * this env knob) for corpora where content is large relative to
+    * query-term postings — long documents, rare phrase tokens — which the
+    * replicated code corpus cannot represent. See GATES.md. */
   val PhraseGateDocs: Long =
     sys.env.get("SPARK_GRAFT_PHRASE_GATE").map(_.toLong).getOrElse(Long.MaxValue)
 }

@@ -112,4 +112,33 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(eng.search("\"hash join\" AND \"merge sort\""))
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("compressed boolean query verifies both phrases in ONE corpus scan") {
+    val idxPath = "/tmp/graft_planspec_index_bool"
+    InvertedIndex.write(
+      InvertedIndex.build(graft.index.Stats.postings(Corpus.files(spark, sf)),
+        t.nDocs, t.avgdl), idxPath)
+    val ce = new CompressedSearchEngine(
+      InvertedIndex.load(spark, idxPath), t.nDocs, t.avgdl)
+    val files = Corpus.files(spark, sf)
+    // phrases chosen to co-occur at sf0.001 (AND/NOT nonempty) — an empty
+    // intermediate would let AQE empty-propagate the corpus scan away
+    for (q <- Seq("\"merge sort\" OR \"table scan\"",
+        "\"merge sort\" AND \"table scan\"",
+        "\"merge sort\" NOT \"table scan\"")) {
+      val df = ce.search(q, files)
+      df.collect() // AQE finalizes the plan at runtime
+      // AdaptiveSparkPlan.toString prints the Final AND Initial plans —
+      // count scans in the final section only
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // content is hydrated once for the UNION of both candidate sets and
+      // both `contains` predicates evaluate on that single scan — the
+      // two-scans-of-files shape made bool_or cost 2× bool_and (r3)
+      val scans = "documents\\.parquet".r.findAllIn(p).length
+      assert(scans == 1, s"[$q] expected 1 corpus scan, got $scans in:\n$p")
+      // both phrases' substring predicates reach that one scan
+      assert(p.contains("Contains(asciilower"), p)
+    }
+  }
 }
