@@ -225,30 +225,47 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
         // naive plan (phraseCandidates per phrase + semi/anti join) scans
         // `files` content twice — the dominant cost of a boolean query
         // (round 3 measured bool_or at 2× phrase for exactly this reason).
-        // Instead: union the two index-only candidate sets with membership
-        // flags (doc_id-scale rows, cheap agg), hydrate content ONCE for the
-        // union, evaluate both `contains` predicates as columns, and apply
-        // the boolean op on the verified flags. m1/m2 gate `contains` on
-        // candidate membership so each phrase keeps its exact
-        // candidates∩substring semantics (reference dbManager verify).
+        // The hydration set is further narrowed per operator: a doc outside
+        // s1 ∩ s2 can never satisfy AND, and a NOT result is a subset of
+        // phrase 1's matches — only OR genuinely needs the union. At scale
+        // an AND of two selective phrases must not pay the union's content
+        // read. Membership flags gate each `contains` so every side keeps
+        // its exact candidates∩substring semantics (reference dbManager
+        // verify): a doc outside a phrase's candidate set cannot match it
+        // even if the raw substring happens to occur.
         val s1 = phraseCandSet(p1, analyzer, forcePositional)
         val s2 = phraseCandSet(p2, analyzer, forcePositional)
-        val flagged = s1.select(col("doc_id"), lit(1).as("in1"), lit(0).as("in2"))
-          .unionByName(s2.select(col("doc_id"), lit(0).as("in1"), lit(1).as("in2")))
-          .groupBy("doc_id")
-          .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
         def lowered(p: String) = lit(graft.functions.AsciiLower.lowerString(p))
-        val scanned = files.join(flagged, Seq("doc_id"))
-          .select(col("doc_id"), col("in1"), col("in2"),
-            graft.functions.GraftFunctions.asciiLower(col("content")).as("lc"))
-        val m1 = col("in1") === 1 && contains(col("lc"), lowered(p1))
-        val m2 = col("in2") === 1 && contains(col("lc"), lowered(p2))
-        val pred = op match {
-          case "and" => m1 && m2
-          case "or"  => m1 || m2
-          case "not" => m1 && !m2
+        val lc = graft.functions.GraftFunctions.asciiLower(col("content")).as("lc")
+        val c1 = contains(col("lc"), lowered(p1))
+        val c2 = contains(col("lc"), lowered(p2))
+        val cand = op match {
+          case "and" =>
+            files.join(s1.join(s2, Seq("doc_id"), "left_semi"),
+                Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), lc)
+              .filter(c1 && c2)
+              .select("doc_id")
+          case "not" =>
+            // s2 membership rides along as a null-safe flag: a doc in s1
+            // but outside s2 passes regardless of its content (phrase 2
+            // cannot match without its conjunctive candidates).
+            val flagged = s1.join(s2.select(col("doc_id"), lit(1).as("in2")),
+              Seq("doc_id"), "left_outer")
+            files.join(flagged, Seq("doc_id"))
+              .select(col("doc_id"), col("in2"), lc)
+              .filter(c1 && !(coalesce(col("in2"), lit(0)) === 1 && c2))
+              .select("doc_id")
+          case "or" =>
+            val flagged = s1.select(col("doc_id"), lit(1).as("in1"), lit(0).as("in2"))
+              .unionByName(s2.select(col("doc_id"), lit(0).as("in1"), lit(1).as("in2")))
+              .groupBy("doc_id")
+              .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
+            files.join(flagged, Seq("doc_id"))
+              .select(col("doc_id"), col("in1"), col("in2"), lc)
+              .filter((col("in1") === 1 && c1) || (col("in2") === 1 && c2))
+              .select("doc_id")
         }
-        val cand = scanned.filter(pred).select("doc_id")
         val terms = if (op == "not") toks(p1) else (toks(p1) ++ toks(p2)).distinct
         scoreCand(terms, Some(cand), k)
     }
