@@ -187,13 +187,29 @@ object Bench {
     // 4-executor level ~4% more than the 1-executor level at 1.92M (measured
     // r3: t4 +19% vs t1 +15% over local[N]) — doubling the per-stage work
     // halves that asymmetric share, the same amortization a real cluster's
-    // GB-scale stages give
+    // GB-scale stages give. (Round 4 found most of the remaining lc-vs-local
+    // gap was per-executor JIT warm-up asymmetry, fixed via lcWarm below:
+    // with it, lc 4x1 wall matched local[4] to 0.4% in the same window.)
     val lcFiles = sys.env.getOrElse("SPARK_GRAFT_LC_FILES", "3840000").toLong
     // JIT warm-up needs hot loops, not corpus volume: scale the un-timed
     // warm-up build with the measured cores so low-N runs don't spend half
     // their wall on warm-up.
     def warmFor(par: Int): Long =
       math.min(warmFiles, math.max(30000L, warmFiles * par / 8))
+    // The lc pair warms each level with the SAME large corpus: JIT state is
+    // per executor JVM, and the E-executor level splits the warm build's
+    // merge/write tasks E ways — with the core-scaled warm-up above, the
+    // 4-executor level's encoder and parquet-write loops ran under-compiled
+    // while the 1-executor level (all warm tasks through one JVM, like
+    // local[N]) was fully hot. Measured at 3.84M files, 4x1, one window:
+    // merge-stage CPU 30.1 s → 12.1 s and index-write-stage CPU 26.7 s →
+    // 14.7 s as per-executor warm volume went 15k → 120k files; wall
+    // 88.5 s → 77.6 s, matching local[4]'s 77.3 s in the same window. A
+    // fixed ~10 s tax on only the fast level is a pure scaling-ratio
+    // artifact, so warm volume must scale with the pair corpus (÷8 ≈ one
+    // bucket's worth), not with cores.
+    val lcWarm = sys.env.get("SPARK_GRAFT_LC_WARM").map(_.toLong)
+      .getOrElse(math.min(480000L, math.max(30000L, lcFiles / 8)))
     val ckptLarge = "/tmp/graft_bench_ckpt_large"
     val ckptSmall = "/tmp/graft_bench_ckpt_small"
     // Host throughput on this shared VM drifts over windows of minutes, so
@@ -249,18 +265,18 @@ object Bench {
       if (altOrder) {
         rmrf(dir4)
         val t4 = forkBuild(sfDir, dir4, lcFiles, s"${nLarge}x1",
-          nLarge, warmFor(nLarge))
+          nLarge, lcWarm)
         rmrf(dir1)
         val t1 = forkBuild(sfDir, dir1, lcFiles, s"${nSmall}x1",
-          nSmall, warmFor(nSmall))
+          nSmall, lcWarm)
         (t1.sec, t4.sec)
       } else {
         rmrf(dir1)
         val t1 = forkBuild(sfDir, dir1, lcFiles, s"${nSmall}x1",
-          nSmall, warmFor(nSmall))
+          nSmall, lcWarm)
         rmrf(dir4)
         val t4 = forkBuild(sfDir, dir4, lcFiles, s"${nLarge}x1",
-          nLarge, warmFor(nLarge))
+          nLarge, lcWarm)
         (t1.sec, t4.sec)
       }
     }.toOption
