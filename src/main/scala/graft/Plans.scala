@@ -63,8 +63,16 @@ object Plans {
           "sets union with membership flags (doc_id-scale rows), content is " +
           "hydrated once for the union, `graft_ascii_lower(content)` is " +
           "projected once and both `contains` predicates evaluate as columns " +
-          "on it. The two-scans-of-files shape cost bool_or 2× bool_and (r3).",
+          "on it. The two-scans-of-files shape cost bool_or 2× bool_and (r3). " +
+          "Only OR hydrates the union: AND semi-joins to s1 ∩ s2 and NOT " +
+          "hydrates s1 only (its result is a subset of phrase 1's matches), " +
+          "so the content read never exceeds the operator's feasible set.",
         ceng.search("\"hash join\" OR \"merge sort\"", files)),
+      ("Boolean AND over the compressed engine (intersection hydration)",
+        "Expect: the corpus scan is semi-joined on s1 ∩ s2 (two chained " +
+          "left-semi joins), both `contains` evaluate on one shared " +
+          "`graft_ascii_lower` projection, still exactly one corpus scan.",
+        ceng.search("\"hash join\" AND \"merge sort\"", files)),
       ("Index build stage 1: salted segment runs",
         "Expect: ONE fused tokenize+compact eval per document (a single " +
           "graft_compact_tokens — tf, len, and wire-encoded positions ride " +
