@@ -62,6 +62,14 @@ object Bench {
   final case class BuildRun(sec: Double, cpuSec: Double, util: Double,
                             skew: Double, skewScan: Double, stealSec: Double)
 
+  /** Query-section results, Try-wrapped so a failure there can never
+    * suppress the JSON line (the build numbers still print; missing query
+    * metrics render as null). */
+  final case class QueryMetrics(nFiles: Long, perQuery: Map[String, Double],
+    posT: Seq[(String, Double)], opsT: Seq[(String, Double)], tPruned: Double,
+    tPrunedAuto: Double, p50: Double, structP50: Double, annRecall: Double,
+    failed: Boolean = false)
+
   /** Run IndexBuildJob in a fresh JVM; returns the timed build metrics.
     * JVM service threads (GC, JIT) are sized proportionally to the measured
     * core count — a real cluster gives each executor container per-core-
@@ -103,15 +111,20 @@ object Bench {
     val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
     val rc = p.waitFor()
     require(rc == 0, s"child build (par=$parSpec) failed rc=$rc:\n${out.takeRight(3000)}")
-    def num(k: String, default: Double = 0.0): Double =
+    // Missing forensic keys record NaN, not 0.0 (ADVICE r4): a child that
+    // failed to print util must render as "n/a" in BENCH.md / null in the
+    // JSON, never as util=0 — which is indistinguishable from total host
+    // theft. NaN propagates correctly through min/ratio arithmetic (filtered
+    // before use) and is mapped to null/"n/a" at print time.
+    def num(k: String): Double =
       s""""$k": (-?[0-9.]+)""".r.findFirstMatchIn(out)
-        .map(_.group(1).toDouble).getOrElse(default)
+        .map(_.group(1).toDouble).getOrElse(Double.NaN)
     val sec = s""""build_sec": ([0-9.]+)""".r.findFirstMatchIn(out)
       .map(_.group(1).toDouble)
       .getOrElse(throw new RuntimeException(
         s"no build_sec in child output:\n${out.takeRight(2000)}"))
-    BuildRun(sec, num("cpu_sec"), num("util"), num("task_skew", 1.0),
-      num("task_skew_scan", 1.0), num("steal_sec"))
+    BuildRun(sec, num("cpu_sec"), num("util"), num("task_skew"),
+      num("task_skew_scan"), num("steal_sec"))
   }
 
   private def session(n: Int): SparkSession = {
@@ -154,6 +167,31 @@ object Bench {
     val target = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "480000").toLong
     val warmFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "120000").toLong
     val t0 = System.nanoTime()
+
+    // ---- hard wall-clock budget (VERDICT r4 #1) ----
+    // The bench emits its one JSON line only at the end, so a run that
+    // outlives the driver's window records NOTHING (BENCH_r04.json was
+    // rc 124 with zero bytes parsed — a round with no graded bench artifact
+    // despite the engine passing its targets in a full run). Every OPTIONAL
+    // section — extra/late retries, the lc pair's reps, peak points — is
+    // gated on the remaining budget, with a reserve held back for the
+    // mandatory query/ops section; whatever was measured when the budget
+    // runs out is printed. A partial line beats a dead round.
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2400").toDouble
+    val queryReserveSec = 420.0
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    val skippedSections = scala.collection.mutable.ArrayBuffer.empty[String]
+    def budget(name: String, needSec: Double): Boolean = {
+      val ok = elapsed + needSec + queryReserveSec < deadlineSec
+      if (!ok) {
+        skippedSections += name
+        System.err.println(f"[bench] deadline: skipping $name " +
+          f"(elapsed ${elapsed}%.0fs + est ${needSec}%.0fs + reserve " +
+          f"${queryReserveSec}%.0fs > ${deadlineSec}%.0fs)")
+      }
+      ok
+    }
 
     // ---- index-build throughput at N and 4N cores, each in a fresh JVM ----
     // Scaling pair defaults to 1 → 4 cores: this box (firecracker VM)
@@ -219,13 +257,24 @@ object Bench {
     // per-level best times are also kept for the throughput numbers.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val ratio = nLarge.toDouble / nSmall
-    val runs0 = (1 to reps).map { _ =>
-      rmrf(ckptSmall); rmrf(ckptLarge)
-      val s = forkBuild(sfDir, ckptSmall, scaleFiles, nSmall.toString,
-        nSmall, warmFor(nSmall))
-      val l = forkBuild(sfDir, ckptLarge, scaleFiles, nLarge.toString,
-        nLarge, warmFor(nLarge))
-      (s, l)
+    // Wall cost of one full paired rep (both forks incl. warm-up + corpus
+    // write), measured on the first rep — the budget estimate for every
+    // further core-pair rep/retry.
+    var repWallSec = 0.0
+    val runs0 = (1 to reps).flatMap { i =>
+      if (i > 1 && !budget(s"core_rep_$i", repWallSec)) None
+      else {
+        val (pair, w) = timed {
+          rmrf(ckptSmall); rmrf(ckptLarge)
+          val s = forkBuild(sfDir, ckptSmall, scaleFiles, nSmall.toString,
+            nSmall, warmFor(nSmall))
+          val l = forkBuild(sfDir, ckptLarge, scaleFiles, nLarge.toString,
+            nLarge, warmFor(nLarge))
+          (s, l)
+        }
+        if (repWallSec == 0.0) repWallSec = w
+        Some(pair)
+      }
     }
     // An implausible min/min efficiency (> ~0.98, i.e. superlinear) means the
     // small level never hit a clean host window. Re-measure extra paired reps
@@ -250,7 +299,8 @@ object Bench {
         nSmall, warmFor(nSmall))
       allRuns = allRuns :+ ((s, l))
     }
-    while ((minEff > 0.98 || minEff < 0.82) && extra < maxExtra) {
+    while ((minEff > 0.98 || minEff < 0.82) && extra < maxExtra &&
+        budget("core_extra_rep", repWallSec)) {
       retryPair()
       extra += 1
     }
@@ -280,26 +330,50 @@ object Bench {
         (t1.sec, t4.sec)
       }
     }.toOption
+    // Budget estimate for one lc rep before any has run: the core pair's
+    // measured rep wall scaled by corpus ratio, plus ~40% multi-process /
+    // larger-warm-up overhead. Once a rep has run, its measured wall rules.
+    var lcWallSec = repWallSec * (lcFiles.toDouble / scaleFiles) * 1.4
+    // Outer None = budget exhausted (caller must stop); Some(None) = the rep
+    // ran but failed (flaky lc master — retrying is fine).
+    def lcRepBudgeted(name: String,
+                      altOrder: Boolean): Option[Option[(Double, Double)]] =
+      if (!budget(name, lcWallSec)) None
+      else {
+        val (r, w) = timed(lcRep(altOrder))
+        lcWallSec = w
+        Some(r)
+      }
     var lcRuns: Vector[(Double, Double)] =
       if (sys.env.get("SPARK_GRAFT_SKIP_LC").contains("1")) Vector.empty
-      else (1 to lcReps).flatMap(_ => lcRep(altOrder = false)).toVector
+      else (1 to lcReps).iterator
+        .map(i => lcRepBudgeted(s"lc_rep_$i", altOrder = false))
+        .takeWhile(_.isDefined).flatMap(_.flatten).toVector
     // same marginal-zone re-measurement as the core pair (min/min per level)
     def lcEff: Double =
       (lcRuns.map(_._1).min / lcRuns.map(_._2).min) / ratio
     var lcExtra = 0
     while (lcRuns.nonEmpty && (lcEff > 0.98 || lcEff < 0.82) &&
         lcExtra < maxExtra) {
-      lcRep(altOrder = true).foreach(r => lcRuns = lcRuns :+ r)
-      lcExtra += 1
+      lcRepBudgeted("lc_extra_rep", altOrder = true) match {
+        case Some(r) => r.foreach(x => lcRuns = lcRuns :+ x); lcExtra += 1
+        case None    => lcExtra = maxExtra // budget gone — stop retrying
+      }
     }
     // saturation curve above the scaling pair: 8 cores and all cores, each
     // at the full corpus in its own checkpoint dir (sharing one dir would
     // let the second run resume from the first's manifests)
     val peakLevels = Seq(8, cpus).distinct.filter(_ > nLarge)
-    val peaks = peakLevels.map { n =>
-      val dir = s"/tmp/graft_bench_ckpt_peak_n$n"
-      rmrf(dir)
-      n -> forkBuild(sfDir, dir, target, n.toString, n, warmFor(n)).sec
+    // a peak fork runs the small query corpus ($target files) at ≥8 cores —
+    // cheap relative to a pair rep; estimate from the 4-core build time
+    val peakEstSec = repWallSec * (target.toDouble / scaleFiles) + 120.0
+    val peaks = peakLevels.flatMap { n =>
+      if (!budget(s"peak_n$n", peakEstSec)) None
+      else {
+        val dir = s"/tmp/graft_bench_ckpt_peak_n$n"
+        rmrf(dir)
+        Some(n -> forkBuild(sfDir, dir, target, n.toString, n, warmFor(n)).sec)
+      }
     }
     // LATE marginal-zone retries: the r3 driver run exhausted its early
     // retry budget inside ONE bad ~25-minute host window (all 4 core-pair
@@ -308,7 +382,8 @@ object Bench {
     // the retries in a different window; min/min per level can only tighten.
     val lateExtraMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LATE_REPS", "2").toInt
     var lateExtra = 0
-    while (minEff < 0.82 && lateExtra < lateExtraMax) {
+    while (minEff < 0.82 && lateExtra < lateExtraMax &&
+        budget("core_late_rep", repWallSec)) {
       retryPair()
       lateExtra += 1
     }
@@ -320,8 +395,10 @@ object Bench {
     // samples vs 69.8 s in r3's clean window, while lc1 matched to 2%).
     var lcLateExtra = 0
     while (lcRuns.nonEmpty && lcEff < 0.82 && lcLateExtra < lateExtraMax) {
-      lcRep(altOrder = lcLateExtra % 2 == 0).foreach(r => lcRuns = lcRuns :+ r)
-      lcLateExtra += 1
+      lcRepBudgeted("lc_late_rep", altOrder = lcLateExtra % 2 == 0) match {
+        case Some(r) => r.foreach(x => lcRuns = lcRuns :+ x); lcLateExtra += 1
+        case None    => lcLateExtra = lateExtraMax
+      }
     }
     val lcPair: Option[(Double, Double)] =
       if (lcRuns.isEmpty) None
@@ -332,10 +409,12 @@ object Bench {
 
     // ---- query + ops latencies over the published index ----
     // engine index + display corpus must share one doc_id space: use the
-    // full-corpus peak build when one exists, else the scaling-pair build
-    val (engDir, engFiles) = peakLevels.lastOption
-      .map(n => (s"/tmp/graft_bench_ckpt_peak_n$n", target))
+    // full-corpus peak build when one RAN (the deadline may have skipped
+    // the peak section), else the scaling-pair build
+    val (engDir, engFiles) = peaks.lastOption
+      .map { case (n, _) => (s"/tmp/graft_bench_ckpt_peak_n$n", target) }
       .getOrElse((ckptLarge, scaleFiles))
+    val qm: QueryMetrics = try {
     val spark = session(cpus)
     val (filesRaw, nFiles) = corpus(spark, sfDir, engFiles)
     val filesC = filesRaw.repartition(128, col("doc_id")).persist()
@@ -396,15 +475,29 @@ object Bench {
       "op_ann_lsh" -> timed(ops.Similarity.annLsh(embNative, 0).collect())._2,
       "op_fingerprint" -> timed(ops.TextAnalysis.fingerprint(docsNative).count())._2)
     // ANN recall@10 of the multi-probe LSH path vs exact brute force — the
-    // pruning/recall trade is a recorded number, not a claim (VERDICT r3 #4)
-    val bruteIds = ops.Similarity.annBruteForce(embNative, 0).collect()
-      .map(_.getLong(0)).toSet
-    val lshIds = ops.Similarity.annLsh(embNative, 0).collect()
-      .map(_.getLong(0)).toSet
+    // pruning/recall trade is a recorded number, not a claim (VERDICT r3 #4).
+    // The query vector itself (vec_id 0, cos 1.0 / Hamming 0) is excluded
+    // from BOTH sets (ADVICE r4): both paths always return it, so counting
+    // it floors the metric at 0.1 and inflates recorded recall — the number
+    // must measure genuine neighbors only.
+    val annQueryId = 0L
+    val bruteIds = ops.Similarity.annBruteForce(embNative, annQueryId).collect()
+      .map(_.getLong(0)).toSet - annQueryId
+    val lshIds = ops.Similarity.annLsh(embNative, annQueryId).collect()
+      .map(_.getLong(0)).toSet - annQueryId
     val annRecall = if (bruteIds.isEmpty) 0.0
       else lshIds.intersect(bruteIds).size.toDouble / bruteIds.size
     filesC.unpersist()
     spark.stop()
+    QueryMetrics(nFiles, perQuery, posT, opsT, tPruned, tPrunedAuto,
+      p50, structP50, annRecall)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] query section failed (build numbers " +
+        s"still print): $e")
+      org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop())
+      QueryMetrics(0L, Map.empty, Nil, Nil, Double.NaN, Double.NaN,
+        Double.NaN, Double.NaN, Double.NaN, failed = true)
+    }
 
     val thrLarge = scaleFiles / tBuildLarge
     val thrSmall = scaleFiles / tBuildSmall
@@ -436,19 +529,30 @@ object Bench {
     val totalSec = (System.nanoTime() - t0) / 1e9
 
     def f(d: Double) = "%.4f".format(d)
+    // NaN/Inf → null in JSON, "n/a" in the MD table: a missing forensic key
+    // or a failed query section must not masquerade as a measured zero
+    def fj(d: Double) = if (d.isNaN || d.isInfinite) "null" else f(d)
+    def fm(d: Double) = if (d.isNaN || d.isInfinite) "n/a" else f(d)
+    // BENCH.md is the committed full-config record; a smoke/partial run
+    // (reduced corpus, skipped lc pair) writes a side file instead so it can
+    // never clobber the record (VERDICT r4 #2 — a 30k-file single-rep run
+    // overwrote the 1.92M-file record and contradicted CLAUDE.md).
+    val fullConfig = scaleFiles >= 1920000L && lcFiles >= 3840000L &&
+      target >= 480000L && reps >= 2 && lcRuns.nonEmpty && !qm.failed
+    val benchDoc = if (fullConfig) "BENCH.md" else "BENCH_partial.md"
     val peakEntries = peaks.map { case (n, t) => s"index_build_n$n" -> t }
-    val qJson = (perQuery.toSeq.sortBy(_._1) ++ posT ++ opsT ++ Seq(
-      "bm25_pruned" -> tPruned,
-      "bm25_pruned_auto" -> tPrunedAuto,
+    val qJson = (qm.perQuery.toSeq.sortBy(_._1) ++ qm.posT ++ qm.opsT ++ Seq(
+      "bm25_pruned" -> qm.tPruned,
+      "bm25_pruned_auto" -> qm.tPrunedAuto,
       s"index_build_n$nSmall" -> tBuildSmall,
       s"index_build_n$nLarge" -> tBuildLarge) ++ peakEntries)
-      .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""$k":${fj(v)}""" }.mkString("{", ",", "}")
     val peakJson = peaks.map { case (n, t) =>
       s""""index_files_per_sec_n$n":${f(target / t)},""" }.mkString +
       lcPair.fold("") { case (t1, t4) =>
         s""""index_build_${nSmall}x1_exec":${f(t1)},"index_build_${nLarge}x1_exec":${f(t4)},"scaling_efficiency_multiexec":${f(effLc.get)},""" }
     println(
-      s"""{"metric":"total","value":${f(totalSec)},"unit":"sec","queries":$qJson,"sf":"$sfDir","files":$nFiles,"scaling_files":$scaleFiles,"index_files_per_sec_n$nLarge":${f(thrLarge)},"index_files_per_sec_n$nSmall":${f(thrSmall)},$peakJson"scaling_efficiency":${f(eff)},"scaling_efficiency_raw":${f(effRaw)},"scaling_efficiency_clamped":$effClamped,"scaling_efficiency_paired":[${effPairs.map(f).mkString(",")}],"scaling_pair":"$nSmall->$nLarge cores","build_reps":${runs.length},"build_runs":${runs.map { case (s, l) => s"[${f(s.sec)},${f(l.sec)}]" }.mkString("[", ",", "]")},"build_util":${runs.map { case (s, l) => s"[${f(s.util)},${f(l.util)}]" }.mkString("[", ",", "]")},"build_steal_sec":${runs.map { case (s, l) => s"[${f(s.stealSec)},${f(l.stealSec)}]" }.mkString("[", ",", "]")},${effCpuWork.fold("")(v => s""""scaling_efficiency_cpuwork":${f(v)},""")}"build_task_skew":${f(bestLarge.skew)},"build_task_skew_scan":${f(bestLarge.skewScan)},"build_task_skew_small":${f(bestSmall.skew)},"ann_lsh_recall10":${f(annRecall)},"bm25_p50_sec":${f(p50)},"struct_query_p50_sec":${f(structP50)}}""")
+      s"""{"metric":"total","value":${f(totalSec)},"unit":"sec","queries":$qJson,"sf":"$sfDir","files":${qm.nFiles},"scaling_files":$scaleFiles,"index_files_per_sec_n$nLarge":${f(thrLarge)},"index_files_per_sec_n$nSmall":${f(thrSmall)},$peakJson"scaling_efficiency":${f(eff)},"scaling_efficiency_raw":${f(effRaw)},"scaling_efficiency_clamped":$effClamped,"scaling_efficiency_paired":[${effPairs.map(f).mkString(",")}],"scaling_pair":"$nSmall->$nLarge cores","build_reps":${runs.length},"build_runs":${runs.map { case (s, l) => s"[${f(s.sec)},${f(l.sec)}]" }.mkString("[", ",", "]")},"build_util":${runs.map { case (s, l) => s"[${fj(s.util)},${fj(l.util)}]" }.mkString("[", ",", "]")},"build_steal_sec":${runs.map { case (s, l) => s"[${fj(s.stealSec)},${fj(l.stealSec)}]" }.mkString("[", ",", "]")},${effCpuWork.fold("")(v => s""""scaling_efficiency_cpuwork":${f(v)},""")}"build_task_skew":${fj(bestLarge.skew)},"build_task_skew_scan":${fj(bestLarge.skewScan)},"build_task_skew_small":${fj(bestSmall.skew)},"ann_lsh_recall10":${fj(qm.annRecall)},"bm25_p50_sec":${fj(qm.p50)},"struct_query_p50_sec":${fj(qm.structP50)},"deadline_sec":${f(deadlineSec)},"deadline_skipped":[${skippedSections.map(s => "\"" + s + "\"").mkString(",")}],"query_section_failed":${qm.failed},"bench_doc":"$benchDoc"}""")
 
     val tableRows = Seq(
       s"| index build @ local[$nSmall] ($scaleFiles files) | ${f(tBuildSmall)} s = ${f(thrSmall)} files/s |",
@@ -458,31 +562,34 @@ object Bench {
       Seq(
       s"| scaling efficiency ($nSmall→$nLarge cores = N→4N, target ≥0.8) | ${f(eff)}${if (effClamped) s" (CLAMPED from raw ${f(effRaw)} — small level never hit a clean window)" else ""} (best time per level over ${runs.length} back-to-back reps; per-rep paired ratios: ${effPairs.map(f).mkString(", ")}) |",
       s"| scaling efficiency, CPU-work basis (cpu(n$nSmall)/cpu(n$nLarge) — host-theft-immune corroboration) | ${effCpuWork.fold("n/a")(f)} |",
-      s"| build CPU utilization, best n$nSmall / best n$nLarge run (clean window ≈ 0.95; collapse ⇒ host theft) | ${f(bestSmall.util)} / ${f(bestLarge.util)} |",
-      s"| build host-steal during best n$nSmall / n$nLarge run | ${f(bestSmall.stealSec)} s / ${f(bestLarge.stealSec)} s |",
-      s"| build task skew, REDUCE stages — max/median task time over significant ≥8-task shuffle-read stages (what the (term,salt) repartition bounds, SURVEY §7.4-5; best n$nLarge run; target ≤ 2) | ${f(bestLarge.skew)} |",
-      s"| build task skew, SCAN stages (task time ∝ per-split document length — heavy-tailed corpus, not salt-addressable; bounded by ≥8-waves-per-core split granularity) | ${f(bestLarge.skewScan)} |") ++
+      s"| build CPU utilization, best n$nSmall / best n$nLarge run (clean window ≈ 0.95; collapse ⇒ host theft) | ${fm(bestSmall.util)} / ${fm(bestLarge.util)} |",
+      s"| build host-steal during best n$nSmall / n$nLarge run | ${fm(bestSmall.stealSec)} s / ${fm(bestLarge.stealSec)} s |",
+      s"| build task skew, REDUCE stages — max/median task time over significant ≥8-task shuffle-read stages (what the (term,salt) repartition bounds, SURVEY §7.4-5; best n$nLarge run; target ≤ 2) | ${fm(bestLarge.skew)} |",
+      s"| build task skew, SCAN stages (task time ∝ per-split document length — heavy-tailed corpus, not salt-addressable; bounded by ≥8-waves-per-core split granularity) | ${fm(bestLarge.skewScan)} |") ++
       lcPair.toSeq.flatMap { case (t1, t4) => Seq(
         s"| index build, local-cluster ${nSmall} executor JVM ($lcFiles files) | ${f(t1)} s = ${f(lcFiles / t1)} files/s |",
         s"| index build, local-cluster ${nLarge} executor JVMs ($lcFiles files) | ${f(t4)} s = ${f(lcFiles / t4)} files/s |",
         s"| scaling efficiency, multi-executor-process ($nSmall→$nLarge executors, best time per level of ${lcRuns.length} reps) | ${f(effLc.get)} |") } ++
       Seq(
-      s"| BM25 token-query top-10 p50 latency | ${f(p50)} s |",
-      s"| structured (phrase/bool) query p50 latency | ${f(structP50)} s |") ++
-      perQuery.toSeq.sortBy(_._1).map { case (k, v) => s"| $k p50 | ${f(v)} s |" } ++
-      posT.map { case (k, v) =>
+      s"| BM25 token-query top-10 p50 latency | ${fm(qm.p50)} s |",
+      s"| structured (phrase/bool) query p50 latency | ${fm(qm.structP50)} s |") ++
+      qm.perQuery.toSeq.sortBy(_._1).map { case (k, v) => s"| $k p50 | ${f(v)} s |" } ++
+      qm.posT.map { case (k, v) =>
         s"| $k (positional adjacency plan forced at this corpus) | ${f(v)} s |" } ++
-      Seq(s"| MaxScore-pruned token query (force=true: full adaptive machinery) | ${f(tPruned)} s |",
-        s"| MaxScore-pruned token query (production: adaptive gate) | ${f(tPrunedAuto)} s |") ++
-      opsT.map { case (k, v) => s"| $k | ${f(v)} s |" } ++
+      Seq(s"| MaxScore-pruned token query (force=true: full adaptive machinery) | ${fm(qm.tPruned)} s |",
+        s"| MaxScore-pruned token query (production: adaptive gate) | ${fm(qm.tPrunedAuto)} s |") ++
+      qm.opsT.map { case (k, v) => s"| $k | ${f(v)} s |" } ++
       Seq {
         val r = ops.Similarity.AnnProbeRadius
         val frac = ops.Similarity.probeMasks(8, r).length / 256.0
-        s"| ANN LSH recall@10 vs brute force (multi-probe Hamming ≤ $r, " +
+        s"| ANN LSH recall@10 vs brute force, query vector excluded from " +
+          s"both sets (multi-probe Hamming ≤ $r, " +
           s"probing ${f(frac)} of buckets — the fixture is isotropic, max pair " +
           s"cosine 0.48, so high recall forces a wide ring; clustered corpora " +
-          s"prune at radius 1) | ${f(annRecall)} |"
-      }
+          s"prune at radius 1) | ${fm(qm.annRecall)} |"
+      } ++
+      (if (skippedSections.isEmpty) Seq.empty else Seq(
+        s"| sections skipped by the ${deadlineSec.toInt}s wall-clock deadline (no silent caps) | ${skippedSections.mkString(", ")} |"))
     val md =
       s"""# BENCH — graft engine
          |
@@ -509,6 +616,14 @@ object Bench {
          |numbers that set `PhraseGateDocs` (∞) and `PruneGateDocs` (64M).
          |
          |## Method notes
+         |
+         |- **Hard wall-clock deadline** (SPARK_GRAFT_BENCH_DEADLINE_SEC,
+         |  default 2400 s): every optional section — extra/late retries, lc
+         |  reps, peak points — is budget-gated against the measured cost of
+         |  its own unit, with a reserve held for the mandatory query section,
+         |  so the JSON line always prints inside the driver's window.
+         |  Skipped sections are listed in the JSON and in the table above
+         |  (never a silent cap).
          |
          |- Each build measurement runs in its own forked JVM with an
          |  un-timed warm-up build first (JIT steady state; warm-up size
@@ -590,6 +705,13 @@ object Bench {
          |  Hadoop LocalFileSystem checksum+chmod forks (RawLocalFileSystem,
          |  committer v2, no _SUCCESS).
          |""".stripMargin.replace("@@ROWS@@", tableRows.mkString("\n"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
+    val header = if (fullConfig) md else
+      s"""> **PARTIAL / SMOKE RUN** — below the full scaling config
+         |> (scaling_files=$scaleFiles, lc_files=$lcFiles, reps=$reps,
+         |> lc_runs=${lcRuns.length}, query_section_failed=${qm.failed}).
+         |> The committed record is BENCH.md; this file is diagnostic only.
+         |
+         |""".stripMargin + md
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(benchDoc), header)
   }
 }

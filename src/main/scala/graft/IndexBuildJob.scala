@@ -134,8 +134,18 @@ object IndexBuildJob {
     CheckpointedBuild.run(files, outDir, nBuckets = 4, saltBuckets = 32)
     val sec = (System.nanoTime() - t0) / 1e9
     val stealSec = (IndexBuildJob.stealJiffies - steal0) / 100.0
-    // listener events are posted async — give the bus a moment to drain
-    Thread.sleep(300)
+    // Listener events are posted async; a fixed sleep is a race after a
+    // large build (a lagging bus would undercount cpu_sec and misreport a
+    // clean window as host theft in the forensics channel — ADVICE r4).
+    // Poll until the accumulated CPU counter is stable for a few ticks.
+    var prevCpu = -1.0
+    var stableTicks = 0
+    var waitedMs = 0
+    while (stableTicks < 3 && waitedMs < 10000) {
+      Thread.sleep(100); waitedMs += 100
+      val c = metrics.cpuSec
+      if (c == prevCpu) stableTicks += 1 else { stableTicks = 0; prevCpu = c }
+    }
     val cpu = metrics.cpuSec
     val util = cpu / (sec * par)
     println(f"""{"build_sec": $sec%.3f, "files": $nFiles, "files_per_sec": ${nFiles / sec}%.1f, "parallelism": $par, "cpu_sec": $cpu%.3f, "util": $util%.4f, "task_skew": ${metrics.taskSkew}%.3f, "task_skew_scan": ${metrics.taskSkewScan}%.3f, "steal_sec": $stealSec%.2f}""")

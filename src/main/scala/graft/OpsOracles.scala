@@ -110,6 +110,22 @@ object OpsOracles {
        |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos
        |FROM d ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** Threshold kNN: brute-force top-10, then the reference's cosine cutoff
+    * (`Backend/ImageSearchService.java:136`, score > 0.3) applied AFTER the
+    * kNN, on the 4-decimal display rounding both engines share. */
+  val annThreshold: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |d AS (
+       |  SELECT e.vec_id,
+       |    ${cosSums("e.embedding", "q.qv")}
+       |  FROM embeddings e, q, range(1, 65) r(i) GROUP BY e.vec_id
+       |),
+       |topk AS (
+       |  SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos
+       |  FROM d ORDER BY cos DESC, vec_id ASC LIMIT 10)
+       |SELECT vec_id, cos FROM topk WHERE cos > 0.3
+       |ORDER BY cos DESC, vec_id ASC""".stripMargin
+
   private val bucketSql: String = (0 until 8)
     .map(d => s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1L << d} ELSE 0 END)")
     .mkString(" + ")

@@ -158,6 +158,11 @@ object SparkEntry {
       ops.Similarity.annBruteForce(Corpus.embeddings(s, dir), 0)),
     "q_ann_lsh" -> ((s, dir) =>
       ops.Similarity.annLsh(Corpus.embeddings(s, dir), 0)),
+    // O5 threshold variant: reference ImageSearchService.java:136 applies
+    // a cosine > 0.3 cutoff AFTER its kNN — same plan as q_ann_brute plus
+    // one post-limit filter
+    "q_ann_threshold" -> ((s, dir) =>
+      ops.Similarity.annThreshold(Corpus.embeddings(s, dir), 0)),
     "q_neardup_embed" -> ((s, dir) =>
       ops.Similarity.nearDupPairs(Corpus.embeddings(s, dir))),
     "q_langid" -> ((s, dir) =>
@@ -208,9 +213,10 @@ object SparkEntry {
       search.Extras.phraseCounts(e.phraseCandidates("hash join"),
         e.t.files, "hash join")
     }),
-    // code-aware analyzer (identifier/camelCase/snake subtokens + Porter):
-    // not SQL-expressible → driver records rows-only checks; rank parity is
-    // asserted against the in-repo Scala oracle in SearchSpec
+    // code-aware analyzer (identifier/camelCase/snake subtokens + Porter
+    // stem): DuckDB-oracled via a generated pure-SQL Porter stemmer
+    // (PorterSql — validated against PorterStemmer on 28k fuzz words);
+    // rank parity additionally asserted against the in-repo Scala oracle
     "q_tf_code" -> ((s, dir) =>
       IndexTables.build(Corpus.files(s, dir), "code").tf
         .orderBy("doc_id", "term")),
@@ -331,6 +337,7 @@ object SparkEntry {
       "q_dedup_simhash" -> OpsOracles.simhash,
       "q_ann_brute" -> OpsOracles.annBrute,
       "q_ann_lsh" -> OpsOracles.annLsh,
+      "q_ann_threshold" -> OpsOracles.annThreshold,
       "q_neardup_embed" -> OpsOracles.nearDupEmbed,
       "q_langid" -> OpsOracles.langId,
       "q_quality" -> OpsOracles.quality,
@@ -388,7 +395,30 @@ object SparkEntry {
            |  CAST((length(f.content) -
            |        length(replace(lower(f.content), 'hash join', ''))) / 9 AS BIGINT) AS n_occ
            |FROM files f JOIN phr USING (doc_id)
-           |ORDER BY f.doc_id""".stripMargin
+           |ORDER BY f.doc_id""".stripMargin,
+      // code analyzer: identifier split + normalize chain + a generated
+      // pure-DuckDB Porter stemmer (PorterSql.stemCtes — the fts
+      // extension's stem() cannot install offline). WITH RECURSIVE powers
+      // the exact consonant/vowel pattern computation.
+      "q_tf_code" ->
+        s"""WITH RECURSIVE ${b.filesCte},
+           |${PorterSql.codeTfCtes}
+           |SELECT doc_id, term, tf FROM ctf
+           |ORDER BY doc_id, term""".stripMargin,
+      // same BM25 formula over the code-analyzer tables; query terms are
+      // codeTokens("merge sort window") = (merg, sort, window) — the
+      // analyzer stems the query with the same chain as the index
+      "q_bm25_code" ->
+        s"""WITH RECURSIVE ${b.filesCte},
+           |${PorterSql.codeTfCtes},
+           |tf AS (SELECT doc_id, term, tf FROM ctf),
+           |docstats AS (
+           |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id),
+           |termstats AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |consts AS (
+           |  SELECT (SELECT count(*) FROM files) AS n_docs,
+           |         (SELECT avg(len) FROM docstats) AS avgdl),
+           |${b.bm25Select(Seq("merg", "sort", "window"), None)}""".stripMargin
     )
   }
 }

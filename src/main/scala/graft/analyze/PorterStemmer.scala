@@ -91,7 +91,7 @@ object PorterStemmer {
     if (w.endsWith("y") && hasVowel(w.dropRight(1))) w.dropRight(1) + "i" else w
 
   // (suffix, replacement) pairs, checked longest-first within the step.
-  private val step2Rules = Seq(
+  private[graft] val step2Rules = Seq(
     "ational" -> "ate", "ization" -> "ize", "iveness" -> "ive",
     "fulness" -> "ful", "ousness" -> "ous", "biliti" -> "ble",
     "tional" -> "tion", "entli" -> "ent", "ousli" -> "ous",
@@ -100,7 +100,7 @@ object PorterStemmer {
     "alli" -> "al", "ator" -> "ate", "eli" -> "e", "bli" -> "ble"
   )
 
-  private val step3Rules = Seq(
+  private[graft] val step3Rules = Seq(
     "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
     "ical" -> "ic", "ness" -> "", "ful" -> ""
   )
@@ -118,7 +118,7 @@ object PorterStemmer {
   private def step2(w: String): String = applyRules(w, step2Rules, 1)
   private def step3(w: String): String = applyRules(w, step3Rules, 1)
 
-  private val step4Suffixes = Seq(
+  private[graft] val step4Suffixes = Seq(
     "ement", "ance", "ence", "able", "ible", "ment", "ion", "ant", "ent",
     "ism", "ate", "iti", "ous", "ive", "ize", "al", "er", "ic", "ou"
   )

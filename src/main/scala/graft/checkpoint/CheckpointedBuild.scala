@@ -162,16 +162,27 @@ object CheckpointedBuild {
 
     // input containment: with an explicit idDomain, doc_ids outside
     // [minId, maxId] would fall into no bucket slice and silently vanish
-    // from the index. One narrow doc_id-only min/max agg guards that seam
-    // (on Iceberg this is column-stats metadata; on parquet a stats-driven
-    // single-column scan).
-    if (idDomain.isDefined) {
-      val bounds = files.agg(min("doc_id"), max("doc_id")).head()
-      if (!bounds.isNullAt(0))
-        require(bounds.getLong(0) >= minId && bounds.getLong(1) <= maxId,
-          s"input doc_ids [${bounds.getLong(0)}, ${bounds.getLong(1)}] exceed " +
-            s"the pinned idDomain [$minId, $maxId] — rows outside it would be " +
-            "silently dropped from the index")
+    // from the index. With `changedIds` the check is pure arithmetic on the
+    // delta bounds (ADVICE r4: a full min/max column scan per append run
+    // partially defeats delta-scaled cost — rows OUTSIDE changedIds are
+    // contract-bound byte-identical to the recorded state, which passed
+    // containment when first built). Without delta metadata, one narrow
+    // doc_id-only min/max agg (on Iceberg: column-stats metadata).
+    idDomain.foreach { _ =>
+      changedIds match {
+        case Some((clo, chi)) =>
+          require(clo >= minId && chi <= maxId,
+            s"changedIds [$clo, $chi] exceed the pinned idDomain " +
+              s"[$minId, $maxId] — rows outside it would be silently " +
+              "dropped from the index")
+        case None =>
+          val bounds = files.agg(min("doc_id"), max("doc_id")).head()
+          if (!bounds.isNullAt(0))
+            require(bounds.getLong(0) >= minId && bounds.getLong(1) <= maxId,
+              s"input doc_ids [${bounds.getLong(0)}, ${bounds.getLong(1)}] " +
+                s"exceed the pinned idDomain [$minId, $maxId] — rows outside " +
+                "it would be silently dropped from the index")
+      }
     }
 
     // resume validation: invalidate manifests whose snapshot no longer

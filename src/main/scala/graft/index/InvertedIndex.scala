@@ -52,6 +52,15 @@ final case class SegmentRow(term: String, salt: Long, seg: Array[Byte],
 object InvertedIndex {
   val ChunkSize = 1 << 17
 
+  /** Byte bound per chunk payload (postings + positions), cut at block
+    * granularity (see PostingCodec.mergeStreamsPos): positions bytes per
+    * posting scale with tf, so a pure posting-count bound gives chunks with
+    * ~10× byte variance across terms and the index write's range
+    * partitioning (which samples ROWS) can't byte-balance output files —
+    * the lc forensics recorded write-stage task skew ~10 from exactly that.
+    * 4 MB ⇒ a 128 MB output file holds ~32 uniform rows. */
+  val ChunkTargetBytes: Int = 4 << 20
+
   /** index rows from the compact posting stream (doc_id, term, tf, len,
     * pos) — graft.index.Stats.postings. `saltBuckets` bounds stage-1 group
     * size: each (term, salt) group holds at most ~nDocs/saltBuckets docs'
@@ -206,32 +215,47 @@ object InvertedIndex {
     * build never emits those; reachable only via hand-built segments). */
   private[index] def termChunkRows(term: String, df: Long,
       runs: Seq[(Array[Byte], Array[Byte])], avgdl: Double,
-      chunkSize: Int = ChunkSize): Iterator[IndexRow] = {
-    try {
-      val outs = PostingCodec.mergeStreamsPos(runs, avgdl, Stats.K1, Stats.B, chunkSize)
+      chunkSize: Int = ChunkSize,
+      chunkBytes: Int = ChunkTargetBytes): Iterator[IndexRow] = {
+    def rows(df: Long, outs: Array[PostingCodec.ChunkOut]) =
       outs.iterator.zipWithIndex.map { case (c, i) =>
         IndexRow(term, df, i, c.first_doc_id, c.last_doc_id, c.n,
           c.blocks.map(_.max_weight).max, c.blocks, c.bytes, c.pos)
       }
-    } catch {
+    try rows(df, PostingCodec.mergeStreamsPos(runs, avgdl, Stats.K1, Stats.B,
+      chunkSize, chunkBytes))
+    catch {
       case _: IllegalArgumentException =>
+        // non-disjoint runs (hand-built segments only): object-path k-way
+        // merge, then re-encode as ONE run and reuse the SAME streaming
+        // chunk emitter — both paths share the count+byte cut logic, so
+        // they stay byte-identical by construction
         val merged = PostingCodec.mergeRunsPos(
           runs.map { case (s, p) => PostingCodec.decodeWithPos(s, p) })
-        merged.grouped(chunkSize).zipWithIndex.map { case (ps, i) =>
-          val (bytes, blocks, posBytes) =
-            PostingCodec.encodeWithPos(ps, avgdl, Stats.K1, Stats.B)
-          IndexRow(term, merged.length.toLong, i, ps.head.doc_id,
-            ps.last.doc_id, ps.length, blocks.map(_.max_weight).max,
-            blocks, bytes, posBytes)
-        }
+        val (bytes, _, posBytes) =
+          PostingCodec.encodeWithPos(merged, avgdl, Stats.K1, Stats.B)
+        rows(merged.length.toLong, PostingCodec.mergeStreamsPos(
+          Seq((bytes, posBytes)), avgdl, Stats.K1, Stats.B, chunkSize, chunkBytes))
     }
   }
+
+  /** Target bytes per output file for the auto-sized write (parquet sweet
+    * spot; matches the default maxPartitionBytes read granularity). */
+  val WriteTargetBytes: Long = 128L << 20
 
   /** Persist with explicit range partitioning of terms (north rule): each
     * output file covers a contiguous term range → min/max parquet stats give
     * query-term file pruning, and heavy terms are spread over the range
-    * space rather than hashed into one file. */
-  def write(index: DataFrame, path: String, nPartitions: Int = 32,
+    * space rather than hashed into one file.
+    *
+    * `nPartitions` ≤ 0 → auto-size from the index's payload bytes (one cheap
+    * agg over the already-persisted chunks): ceil(bytes / 128 MB), min 32 —
+    * a fixed default under-splits a 100×-scale index (VERDICT r4 #6: the lc
+    * forensics recorded reduce-stage skew ~10 on the fixed-32 write, heavy
+    * top-term range vs tiny median). Range partitioning is on
+    * (term, chunk_id), so a hot term's many chunks span MULTIPLE output
+    * partitions — more partitions directly split the hottest term range. */
+  def write(index: DataFrame, path: String, nPartitions: Int = -1,
             io: graft.sources.TableIO = graft.sources.ParquetTableIO): Unit = {
     // repartitionByRange SAMPLES its child to pick range bounds, then
     // executes it again for the real write — without a persist that runs
@@ -240,10 +264,20 @@ object InvertedIndex {
     // posture: chunks spill to local disk instead of re-running the merge.
     val cached = index.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try io.overwrite(
-      cached.repartitionByRange(nPartitions, col("term"), col("chunk_id"))
-        .sortWithinPartitions("term", "chunk_id"), path)
-    finally cached.unpersist()
+    try {
+      val parts =
+        if (nPartitions > 0) nPartitions
+        else {
+          val bytes = cached.agg(coalesce(sum(
+            length(col("postings")).cast("long") +
+              length(col("positions")).cast("long")), lit(0L)))
+            .head().getLong(0)
+          math.max(32L, (bytes + WriteTargetBytes - 1) / WriteTargetBytes).toInt
+        }
+      io.overwrite(
+        cached.repartitionByRange(parts, col("term"), col("chunk_id"))
+          .sortWithinPartitions("term", "chunk_id"), path)
+    } finally cached.unpersist()
   }
 
   def load(spark: SparkSession, path: String,

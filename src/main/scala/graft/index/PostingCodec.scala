@@ -226,8 +226,17 @@ object PostingCodec {
     * IllegalArgumentException on violation — callers fall back to the
     * object path ([[mergeRunsPos]] + [[encodeWithPos]]).
     */
+  /** `chunkBytes`: byte bound on a chunk's payload (postings + positions),
+    * checked at BLOCK boundaries only — every non-final chunk's posting
+    * count stays a multiple of [[BlockSize]], so Σ blocks per term remains
+    * ceil(df/BlockSize) regardless of where the byte bound cuts. Positions
+    * bytes per posting vary ~10× across terms (∝ tf), so count-bounded
+    * chunks have high byte variance and the index write's row-sampled range
+    * partitioning can't byte-balance its output tasks; byte-bounded chunks
+    * make rows ≈ uniform weight at any scale. */
   def mergeStreamsPos(runs0: Seq[(Array[Byte], Array[Byte])], avgdl: Double,
-                      k1: Double, b: Double, chunkSize: Int): Array[ChunkOut] = {
+                      k1: Double, b: Double, chunkSize: Int,
+                      chunkBytes: Int = Int.MaxValue): Array[ChunkOut] = {
     val runs = runs0.filter(_._1.nonEmpty).sortBy { case (seg, _) =>
       new Reader(seg, 0).readVLong() - 1 // first doc = gap + (-1)
     }
@@ -259,6 +268,8 @@ object PostingCodec {
     def add(doc: Long, tf: Int, len: Int,
             posSrc: Array[Byte], posFrom: Int, posLen: Int): Unit = {
       if (chunkN == chunkSize) flushChunk()
+      else if (blockN == BlockSize &&
+          out.length.toLong + posOut.length >= chunkBytes) flushChunk()
       if (blockN == BlockSize) flushBlock()
       if (chunkN == 0) { chunkFirst = doc; chunkPrev = -1L }
       if (blockN == 0) blockOffset = out.length

@@ -39,9 +39,26 @@ object Similarity {
       .limit(k)
   }
 
-  /** All nBits-bit masks of Hamming weight ≤ radius — the multi-probe ring. */
-  def probeMasks(nBits: Int, radius: Int): Seq[Long] =
+  /** Threshold kNN (reference `Backend/ImageSearchService.java:100-149`):
+    * top-k nearest by cosine, then drop results at or below `minCos` — the
+    * reference's stored-image search applies exactly this cutoff (> 0.3 at
+    * `:136`) AFTER its kNN. Same plan as [[annBruteForce]] (scalar broadcast
+    * + TakeOrderedAndProject) plus one post-limit filter. */
+  def annThreshold(embeddings: DataFrame, queryVecId: Long, k: Int = 10,
+                   minCos: Double = 0.3): DataFrame =
+    annBruteForce(embeddings, queryVecId, k).filter(col("cos") > minCos)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+
+  /** All nBits-bit masks of Hamming weight ≤ radius — the multi-probe ring.
+    * Bounded: the enumeration is 2^nBits, and at nBits ≥ 63 the shift wraps
+    * (1L << 64 == 1) and would silently return a wrong near-empty ring —
+    * fail loudly instead (ADVICE r4). Rings that wide are never right: use
+    * more buckets + a small radius. */
+  def probeMasks(nBits: Int, radius: Int): Seq[Long] = {
+    require(nBits > 0 && nBits <= 24,
+      s"probeMasks enumerates 2^nBits masks; nBits=$nBits is infeasible/overflows")
     (0L until (1L << nBits)).filter(java.lang.Long.bitCount(_) <= radius)
+  }
 
   /** LSH-bucketed ANN, multi-probe: score vectors in every bucket within
     * Hamming distance `radius` of the query's sign bucket. Single-probe

@@ -28,6 +28,30 @@ class ServeSpec extends SparkSpec {
       assert(sug.head.contains("\"cnt\":3"))
       assert(s.handle("") === Seq.empty)
       assert(s.handle(":page x") === Seq("""{"error": "usage: :page <p> <n> <query>"}"""))
+
+      // HTTP front (reference TextController lifecycle): one GET /search
+      // round-trip against the same warm session, ephemeral port
+      val server = HttpServe.start(s, 0)
+      try {
+        def get(pathQ: String): String = {
+          val url = java.net.URI.create(
+            s"http://127.0.0.1:${server.getAddress.getPort}$pathQ").toURL
+          val src = scala.io.Source.fromInputStream(url.openStream(), "UTF-8")
+          try src.mkString finally src.close()
+        }
+        val body = get("/search?query=merge+sort+window")
+        assert(body.startsWith("[") && body.endsWith("]"))
+        assert(body.split("\\{\"doc_id\"").length - 1 === 10)
+        val paged = get("/search?query=merge+sort+window&page=2&limit=3")
+        assert(paged === "[" + all.slice(3, 6).mkString(",") + "]")
+        val sugBody = get("/suggest?prefix=merge")
+        assert(sugBody.contains("merge sort window"))
+        // a malformed request is a JSON error, not a dead socket
+        val err = java.net.URI.create(
+          s"http://127.0.0.1:${server.getAddress.getPort}/search").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        assert(err.getResponseCode === 400)
+      } finally server.stop(0)
     } finally s.close()
   }
 }
