@@ -299,17 +299,18 @@ object Bench {
         nSmall, warmFor(nSmall))
       allRuns = allRuns :+ ((s, l))
     }
-    while ((minEff > 0.98 || minEff < 0.82) && extra < maxExtra &&
-        budget("core_extra_rep", repWallSec)) {
-      retryPair()
-      extra += 1
-    }
+    // NOTE: the marginal-zone retry loop runs AFTER the lc base reps below.
+    // Round 5's first full run spent 2 immediate core retries (the window
+    // was dirty on the n4 side for ~20 min) and the deadline gate then
+    // skipped the ENTIRE lc section — one graded metric starved by retry
+    // spend on the other. Base measurements of BOTH pairs come first;
+    // retries compete for whatever budget is left.
     // Corroborating pair with true multi-executor processes (local-cluster:
     // each executor its own JVM) — the closest in-sandbox analog of "N and
     // 4N executors". Same paired-rep protocol; each rep Try-wrapped so a
     // flaky standalone master/worker cannot fail the bench.
     val lcReps = sys.env.getOrElse("SPARK_GRAFT_LC_REPS", "2").toInt
-    def lcRep(altOrder: Boolean): Option[(Double, Double)] = scala.util.Try {
+    def lcRep(altOrder: Boolean): Option[(BuildRun, BuildRun)] = scala.util.Try {
       val dir1 = "/tmp/graft_bench_ckpt_lc1"
       val dir4 = "/tmp/graft_bench_ckpt_lc4"
       if (altOrder) {
@@ -319,7 +320,7 @@ object Bench {
         rmrf(dir1)
         val t1 = forkBuild(sfDir, dir1, lcFiles, s"${nSmall}x1",
           nSmall, lcWarm)
-        (t1.sec, t4.sec)
+        (t1, t4)
       } else {
         rmrf(dir1)
         val t1 = forkBuild(sfDir, dir1, lcFiles, s"${nSmall}x1",
@@ -327,7 +328,7 @@ object Bench {
         rmrf(dir4)
         val t4 = forkBuild(sfDir, dir4, lcFiles, s"${nLarge}x1",
           nLarge, lcWarm)
-        (t1.sec, t4.sec)
+        (t1, t4)
       }
     }.toOption
     // Budget estimate for one lc rep before any has run: the core pair's
@@ -337,21 +338,27 @@ object Bench {
     // Outer None = budget exhausted (caller must stop); Some(None) = the rep
     // ran but failed (flaky lc master — retrying is fine).
     def lcRepBudgeted(name: String,
-                      altOrder: Boolean): Option[Option[(Double, Double)]] =
+                      altOrder: Boolean): Option[Option[(BuildRun, BuildRun)]] =
       if (!budget(name, lcWallSec)) None
       else {
         val (r, w) = timed(lcRep(altOrder))
         lcWallSec = w
         Some(r)
       }
-    var lcRuns: Vector[(Double, Double)] =
+    var lcRuns: Vector[(BuildRun, BuildRun)] =
       if (sys.env.get("SPARK_GRAFT_SKIP_LC").contains("1")) Vector.empty
       else (1 to lcReps).iterator
         .map(i => lcRepBudgeted(s"lc_rep_$i", altOrder = false))
         .takeWhile(_.isDefined).flatMap(_.flatten).toVector
+    // core-pair marginal-zone retries — after BOTH pairs have base reps
+    while ((minEff > 0.98 || minEff < 0.82) && extra < maxExtra &&
+        budget("core_extra_rep", repWallSec)) {
+      retryPair()
+      extra += 1
+    }
     // same marginal-zone re-measurement as the core pair (min/min per level)
     def lcEff: Double =
-      (lcRuns.map(_._1).min / lcRuns.map(_._2).min) / ratio
+      (lcRuns.map(_._1.sec).min / lcRuns.map(_._2.sec).min) / ratio
     var lcExtra = 0
     while (lcRuns.nonEmpty && (lcEff > 0.98 || lcEff < 0.82) &&
         lcExtra < maxExtra) {
@@ -402,7 +409,12 @@ object Bench {
     }
     val lcPair: Option[(Double, Double)] =
       if (lcRuns.isEmpty) None
-      else Some((lcRuns.map(_._1).min, lcRuns.map(_._2).min)) // best per level
+      else Some((lcRuns.map(_._1.sec).min, lcRuns.map(_._2.sec).min)) // best per level
+    // lc forensics: util/skew of each level's BEST run — the multi-executor
+    // analog of the core pair's channel; the reduce-stage skew here is what
+    // the byte-bounded chunks (r5) bound on the index write
+    val bestLc = if (lcRuns.isEmpty) None else
+      Some((lcRuns.minBy(_._1.sec)._1, lcRuns.minBy(_._2.sec)._2))
     val runs = allRuns
     val tBuildSmall = runs.map(_._1.sec).min
     val tBuildLarge = runs.map(_._2.sec).min
@@ -550,7 +562,9 @@ object Bench {
     val peakJson = peaks.map { case (n, t) =>
       s""""index_files_per_sec_n$n":${f(target / t)},""" }.mkString +
       lcPair.fold("") { case (t1, t4) =>
-        s""""index_build_${nSmall}x1_exec":${f(t1)},"index_build_${nLarge}x1_exec":${f(t4)},"scaling_efficiency_multiexec":${f(effLc.get)},""" }
+        val fr = bestLc.fold("") { case (b1, b4) =>
+          s""""lc_util":[${fj(b1.util)},${fj(b4.util)}],"lc_task_skew":${fj(b4.skew)},"lc_task_skew_scan":${fj(b4.skewScan)},"lc_cpuwork":${fj(b1.cpuSec / b4.cpuSec)},""" }
+        s""""index_build_${nSmall}x1_exec":${f(t1)},"index_build_${nLarge}x1_exec":${f(t4)},"scaling_efficiency_multiexec":${f(effLc.get)},$fr""" }
     println(
       s"""{"metric":"total","value":${f(totalSec)},"unit":"sec","queries":$qJson,"sf":"$sfDir","files":${qm.nFiles},"scaling_files":$scaleFiles,"index_files_per_sec_n$nLarge":${f(thrLarge)},"index_files_per_sec_n$nSmall":${f(thrSmall)},$peakJson"scaling_efficiency":${f(eff)},"scaling_efficiency_raw":${f(effRaw)},"scaling_efficiency_clamped":$effClamped,"scaling_efficiency_paired":[${effPairs.map(f).mkString(",")}],"scaling_pair":"$nSmall->$nLarge cores","build_reps":${runs.length},"build_runs":${runs.map { case (s, l) => s"[${f(s.sec)},${f(l.sec)}]" }.mkString("[", ",", "]")},"build_util":${runs.map { case (s, l) => s"[${fj(s.util)},${fj(l.util)}]" }.mkString("[", ",", "]")},"build_steal_sec":${runs.map { case (s, l) => s"[${fj(s.stealSec)},${fj(l.stealSec)}]" }.mkString("[", ",", "]")},${effCpuWork.fold("")(v => s""""scaling_efficiency_cpuwork":${f(v)},""")}"build_task_skew":${fj(bestLarge.skew)},"build_task_skew_scan":${fj(bestLarge.skewScan)},"build_task_skew_small":${fj(bestSmall.skew)},"ann_lsh_recall10":${fj(qm.annRecall)},"bm25_p50_sec":${fj(qm.p50)},"struct_query_p50_sec":${fj(qm.structP50)},"deadline_sec":${f(deadlineSec)},"deadline_skipped":[${skippedSections.map(s => "\"" + s + "\"").mkString(",")}],"query_section_failed":${qm.failed},"bench_doc":"$benchDoc"}""")
 
@@ -570,6 +584,10 @@ object Bench {
         s"| index build, local-cluster ${nSmall} executor JVM ($lcFiles files) | ${f(t1)} s = ${f(lcFiles / t1)} files/s |",
         s"| index build, local-cluster ${nLarge} executor JVMs ($lcFiles files) | ${f(t4)} s = ${f(lcFiles / t4)} files/s |",
         s"| scaling efficiency, multi-executor-process ($nSmall→$nLarge executors, best time per level of ${lcRuns.length} reps) | ${f(effLc.get)} |") } ++
+      bestLc.toSeq.flatMap { case (b1, b4) => Seq(
+        s"| lc build CPU utilization, best $nSmall-exec / $nLarge-exec run | ${fm(b1.util)} / ${fm(b4.util)} |",
+        s"| lc build task skew, REDUCE stages, best $nLarge-exec run (index write included — bounded by byte-balanced chunks since r5) | ${fm(b4.skew)} |",
+        s"| lc CPU-work efficiency cpu($nSmall)/cpu($nLarge) | ${fm(b1.cpuSec / b4.cpuSec)} |") } ++
       Seq(
       s"| BM25 token-query top-10 p50 latency | ${fm(qm.p50)} s |",
       s"| structured (phrase/bool) query p50 latency | ${fm(qm.structP50)} s |") ++

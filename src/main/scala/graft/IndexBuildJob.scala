@@ -179,6 +179,7 @@ object IndexBuildJob {
     * Iceberg-partitioned 100 TB input would give. */
   def corpusOf(spark: SparkSession, sfDir: String, outDir: String,
                targetFiles: Long): (org.apache.spark.sql.DataFrame, Long) = {
+    val rep2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "8").toInt
     val docs0 = corpus.Corpus.documents(spark, sfDir)
     val n = docs0.count()
     // the sf documents table is ONE parquet file: without a repartition the
@@ -201,11 +202,23 @@ object IndexBuildJob {
         concat(lit("src/doc_"), col("doc_id").cast("string")).as("path"),
         md5(concat(lit("commit"), col("doc_id").cast("string"))).as("commit"),
         col("lang"),
-        array_join(array_repeat(col("text"),
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "8").toInt), " ")
-          .as("content"))
+        array_join(array_repeat(col("text"), rep2), " ").as("content"))
       .withColumn("sha", sha2(col("content"), 256))
-    val corpusPath = s"$outDir-corpus"
+    // The corpus is a pure deterministic function of (sfDir, n·r, repeat):
+    // cache it at a size-keyed SHARED path so the many forks of one bench
+    // run (2 levels × reps × retries + warm-ups) write it once each size
+    // instead of ~2-3 min of identical parquet writing per fork — that tax
+    // was ~10 min of every full run and ate the retry budget under the
+    // wall-clock deadline. A `_graft_complete` marker distinguishes a
+    // finished write from a killed fork's partial dir.
+    // v-prefix mirrors the checkpoint-dir convention: bump it whenever the
+    // synthesis formula above changes, or a stale /tmp cache from an older
+    // build silently becomes the benchmark input.
+    val key = s"v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${n * r}_rep$rep2"
+    val corpusPath = s"/tmp/graft_bench_corpus_$key"
+    val marker = java.nio.file.Paths.get(corpusPath, "_graft_complete")
+    if (java.nio.file.Files.exists(marker))
+      return (spark.read.parquet(corpusPath), n * r)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusPath))
     // file count scales with the corpus (~15 MB/file): files are the
     // split-packing unit, so constant-size files keep scan-task
@@ -216,6 +229,7 @@ object IndexBuildJob {
     f.repartitionByRange(nCorpusFiles, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(corpusPath)
+    java.nio.file.Files.createFile(marker)
     (spark.read.parquet(corpusPath), n * r)
   }
 }
