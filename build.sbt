@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Spill-read read-ahead threads hold JNI critical sections (LZ4 over
+  // NIO); under heap pressure the default GCLockerRetryAllocationCount=2
+  // turns that into a spurious OutOfMemoryError while memory is still
+  // reclaimable (observed killing a Bench query section at local[32]).
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )
