@@ -54,7 +54,15 @@ private final class BuildMetricsListener extends SparkListener {
     all.collect {
       case (id, ds) if ds.length >= 8 && ds.map(_.toDouble).sum >= 0.05 * total =>
         val s = ds.sorted
-        val med = math.max(1L, s(s.length / 2))
+        // Median over BUSY tasks (≥ max/10) only: a bucket's scan stage is
+        // planned over the whole corpus file list and parquet min/max
+        // pruning empties ~3/4 of its tasks in milliseconds — an all-task
+        // median then measures the pruning, not the balance (observed 64×
+        // "skew" on a stage whose busy tasks were uniform within 15%). A
+        // genuinely hot-key stage is unaffected: its straggler dwarfs a
+        // busy-task median exactly as it dwarfs the all-task one.
+        val busy = s.filter(_ >= s.last / 10)
+        val med = math.max(1L, busy(busy.length / 2))
         (id, ds.length, ds.sum, s.last, s.last.toDouble / med,
           stageShuffleRead.getOrElse(id, false))
     }.sortBy(-_._3)
@@ -122,16 +130,17 @@ object IndexBuildJob {
 
     val metrics = new BuildMetricsListener
     spark.sparkContext.addSparkListener(metrics)
+    val nBuckets = sys.env.getOrElse("SPARK_GRAFT_NBUCKETS", "4").toInt
     if (warmupFiles > 0) {
       val (wf, _) = corpusOf(warmupFiles)
-      CheckpointedBuild.run(wf, s"${outDir}_warm", nBuckets = 4, saltBuckets = 32)
+      CheckpointedBuild.run(wf, s"${outDir}_warm", nBuckets = nBuckets, saltBuckets = 32)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"${outDir}_warm"))
     }
     val (files, nFiles) = corpusOf(target)
     metrics.reset() // measure the timed build only
     val steal0 = IndexBuildJob.stealJiffies
     val t0 = System.nanoTime()
-    CheckpointedBuild.run(files, outDir, nBuckets = 4, saltBuckets = 32)
+    CheckpointedBuild.run(files, outDir, nBuckets = nBuckets, saltBuckets = 32)
     val sec = (System.nanoTime() - t0) / 1e9
     val stealSec = (IndexBuildJob.stealJiffies - steal0) / 100.0
     // Listener events are posted async; a fixed sleep is a race after a
