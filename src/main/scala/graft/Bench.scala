@@ -179,9 +179,12 @@ object Bench {
     // runs out is printed. A partial line beats a dead round.
     val deadlineSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2400").toDouble
-    // Reserve covers the mandatory query section PLUS the fallback engine
-    // fork it needs when the deadline skipped the peak section (~175 s).
-    val queryReserveSec = 600.0
+    // Reserve covers the mandatory query section (measured ~150 s at the
+    // full config) PLUS the fallback engine fork it needs when the deadline
+    // skipped the peak section (~175 s): 325 s measured worst case, 450
+    // keeps ~40% margin. Over-reserving starves the lc retry gates — at
+    // 600 s a measured full run was 77 s short of fitting an lc extra rep.
+    val queryReserveSec = 450.0
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val skippedSections = scala.collection.mutable.ArrayBuffer.empty[String]
     def budget(name: String, needSec: Double): Boolean = {
