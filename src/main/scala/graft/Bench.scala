@@ -347,7 +347,11 @@ object Bench {
       if (!budget(name, lcWallSec)) None
       else {
         val (r, w) = timed(lcRep(altOrder))
-        lcWallSec = w
+        // only a COMPLETED rep's wall may become the budget estimate: a
+        // failed rep (flaky lc master bind, often seconds) would collapse
+        // lcWallSec and every later lc gate would pass trivially while the
+        // real rep cost stays ~8-10 min — straight past the deadline
+        if (r.isDefined) lcWallSec = w
         Some(r)
       }
     var lcRuns: Vector[(BuildRun, BuildRun)] =
@@ -432,6 +436,11 @@ object Bench {
     // twice over: the recorded p50s stop being comparable to BASELINE.md,
     // and the query session then persists a 1.92M-file display corpus that
     // blew the bench JVM's heap the one time this path actually ran.
+    val qm: QueryMetrics = try {
+    // The fallback forkBuild must live INSIDE this try: a child failure
+    // here (OOM, dirty /tmp — the class that killed r4's query section)
+    // must fail only the query metrics, never the JSON line that carries
+    // every scaling number already measured above.
     val (engDir, engFiles) = peaks.lastOption
       .map { case (n, _) => (s"/tmp/graft_bench_ckpt_peak_n$n", target) }
       .getOrElse {
@@ -447,7 +456,6 @@ object Bench {
         skippedSections -= s"peak_n$cpus"
         (dir, target)
       }
-    val qm: QueryMetrics = try {
     val spark = session(cpus)
     val (filesRaw, nFiles) = corpus(spark, sfDir, engFiles)
     val filesC = filesRaw.repartition(128, col("doc_id")).persist()
@@ -570,8 +578,13 @@ object Bench {
     // (reduced corpus, skipped lc pair) writes a side file instead so it can
     // never clobber the record (VERDICT r4 #2 — a 30k-file single-rep run
     // overwrote the 1.92M-file record and contradicted CLAUDE.md).
+    // Gate on the MEASURED rep counts, not the configured env knob: a
+    // deadline-starved run that only landed one rep of either pair is a
+    // partial measurement (a single-rep min/min can be flattered by one
+    // slow small-level window) and must not qualify as the record.
     val fullConfig = scaleFiles >= 1920000L && lcFiles >= 3840000L &&
-      target >= 480000L && reps >= 2 && lcRuns.nonEmpty && !qm.failed
+      target >= 480000L && runs.length >= 2 && lcRuns.length >= 2 &&
+      !qm.failed
     // Keep-best guard: a qualifying run in a stolen host window must not
     // clobber a BETTER full-config record either (measured across 5 full
     // runs in one night: lc pair 0.806 → 0.714 purely by host theft while
@@ -593,14 +606,20 @@ object Bench {
     }.getOrElse(false)
     val benchDoc =
       if (fullConfig && !keepExisting) "BENCH.md" else "BENCH_partial.md"
-    val peakEntries = peaks.map { case (n, t) => s"index_build_n$n" -> t }
+    // A fallback peak at n == nSmall/nLarge (SPARK_GRAFT_CPUS pinned to a
+    // pair level) would duplicate the scaling-pair JSON keys with a run at
+    // an incomparable corpus size (query corpus vs pair corpus) — last-wins
+    // JSON parsers would silently replace the graded number. Keep such a
+    // peak in the MD table (labeled with its corpus) but out of the JSON.
+    val peaksJson = peaks.filter { case (n, _) => n != nSmall && n != nLarge }
+    val peakEntries = peaksJson.map { case (n, t) => s"index_build_n$n" -> t }
     val qJson = (qm.perQuery.toSeq.sortBy(_._1) ++ qm.posT ++ qm.opsT ++ Seq(
       "bm25_pruned" -> qm.tPruned,
       "bm25_pruned_auto" -> qm.tPrunedAuto,
       s"index_build_n$nSmall" -> tBuildSmall,
       s"index_build_n$nLarge" -> tBuildLarge) ++ peakEntries)
       .map { case (k, v) => s""""$k":${fj(v)}""" }.mkString("{", ",", "}")
-    val peakJson = peaks.map { case (n, t) =>
+    val peakJson = peaksJson.map { case (n, t) =>
       s""""index_files_per_sec_n$n":${f(target / t)},""" }.mkString +
       lcPair.fold("") { case (t1, t4) =>
         val fr = bestLc.fold("") { case (b1, b4) =>

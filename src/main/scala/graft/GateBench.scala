@@ -50,7 +50,7 @@ object GateBench {
     val results = sizes.map { size =>
       val base = s"/tmp/graft_gate_$size"
       rmrf(base); rmrf(s"$base-corpus")
-      val (files, n) = IndexBuildJob.corpusOf(spark, sfDir, base, size)
+      val (files, n) = IndexBuildJob.corpusOf(spark, sfDir, size)
       require(n < search.CompressedSearchEngine.PhraseGateDocs,
         s"size $n is above the phrase gate — the auto path would not be the substring plan")
       val tBuild = timed(CheckpointedBuild.run(files, base, nBuckets = 4))

@@ -30,28 +30,43 @@ object HttpServe {
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(code, bytes.length)
       ex.getResponseBody.write(bytes)
-      ex.close()
     }
     def route(path: String)(f: Map[String, String] => Seq[String]): Unit =
       server.createContext(path, (ex: HttpExchange) =>
-        try respond(ex, 200, f(params(ex)))
-        catch {
-          case e: IllegalArgumentException =>
-            respond(ex, 400, Seq(s"""{"error": ${Serve.jsonString(e.getMessage)}}"""))
-          case e: Exception =>
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            respond(ex, 500, Seq(s"""{"error": ${Serve.jsonString(msg)}}"""))
-        })
+        try {
+          // status + body are computed BEFORE any header is sent: once
+          // sendResponseHeaders has run, a second respond() (the old
+          // catch-path) throws IllegalStateException and leaks the exchange
+          val (code, rows) =
+            try (200, f(params(ex)))
+            catch {
+              case e: IllegalArgumentException =>
+                val msg = Option(e.getMessage).getOrElse("bad request")
+                (400, Seq(s"""{"error": ${Serve.jsonString(msg)}}"""))
+              case e: Exception =>
+                val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                (500, Seq(s"""{"error": ${Serve.jsonString(msg)}}"""))
+            }
+          respond(ex, code, rows)
+        } catch {
+          case _: java.io.IOException => () // client gone mid-write
+        } finally ex.close())
     route("/search") { p =>
       val q = p.getOrElse("query",
         throw new IllegalArgumentException("missing query parameter"))
+      // typed Session methods, NOT the line-protocol dispatcher: a raw
+      // query that happens to start with ":suggest "/":page " must be
+      // searched literally, not re-parsed as a REPL command
       (p.get("page"), p.get("limit")) match {
-        case (Some(pg), Some(lim)) => session.handle(s":page $pg $lim $q")
-        case _                     => session.handle(q)
+        case (Some(pg), Some(lim)) =>
+          session.render(session.page(q, pg.toInt, lim.toInt))
+        case (None, None) => session.render(session.query(q))
+        case _ => throw new IllegalArgumentException(
+          "page and limit must be supplied together")
       }
     }
     route("/suggest") { p =>
-      session.handle(":suggest " + p.getOrElse("prefix", ""))
+      session.render(session.suggest(p.getOrElse("prefix", "")))
     }
     server.start()
     server

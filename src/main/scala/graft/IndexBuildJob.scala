@@ -126,7 +126,7 @@ object IndexBuildJob {
       })
 
     def corpusOf(targetFiles: Long) =
-      IndexBuildJob.corpusOf(spark, sfDir, outDir, targetFiles)
+      IndexBuildJob.corpusOf(spark, sfDir, targetFiles)
 
     val metrics = new BuildMetricsListener
     spark.sparkContext.addSparkListener(metrics)
@@ -177,7 +177,8 @@ object IndexBuildJob {
   }.getOrElse(0L)
 
   /** Deterministic replicated benchmark corpus, written once as
-    * doc_id-range-sorted parquet at `$outDir-corpus` and read back — the
+    * doc_id-range-sorted parquet at a size-keyed shared /tmp cache path
+    * (see below) and read back — the
     * honest input shape for a build benchmark (a real corpus is a table on
     * storage, not a cached DataFrame). A heap cache of the corpus stops
     * fitting somewhere between 1M and 2M files and every extra build pass
@@ -186,7 +187,7 @@ object IndexBuildJob {
     * Range-sorted files mean each bucket job's doc_id filter prunes to its
     * own files via parquet min/max stats, the same pruning an
     * Iceberg-partitioned 100 TB input would give. */
-  def corpusOf(spark: SparkSession, sfDir: String, outDir: String,
+  def corpusOf(spark: SparkSession, sfDir: String,
                targetFiles: Long): (org.apache.spark.sql.DataFrame, Long) = {
     val rep2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "8").toInt
     val docs0 = corpus.Corpus.documents(spark, sfDir)

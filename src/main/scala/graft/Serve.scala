@@ -73,6 +73,10 @@ object Serve {
         spark.range(0).select(lit("").as("query"), lit(0L).as("cnt"))
       else QueryLog.suggest(QueryLog.load(spark, logPath), prefix)
 
+    /** Result rows rendered as JSON strings — the wire format shared by the
+      * REPL and HTTP fronts. */
+    def render(df: DataFrame): Seq[String] = df.toJSON.collect().toSeq
+
     /** One protocol line → result rows rendered as JSON strings. */
     def handle(line: String): Seq[String] = {
       val trimmed = line.trim
@@ -87,7 +91,7 @@ object Serve {
           }
         case q => query(q)
       }
-      df.toJSON.collect().toSeq
+      render(df)
     }
 
     def close(): Unit = files.unpersist()

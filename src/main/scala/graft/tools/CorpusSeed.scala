@@ -27,7 +27,7 @@ object CorpusSeed {
     spark.sparkContext.setLogLevel("WARN")
     sizes.foreach { s =>
       val t0 = System.nanoTime()
-      val (_, n) = IndexBuildJob.corpusOf(spark, sfDir, "/tmp/graft_seed", s)
+      val (_, n) = IndexBuildJob.corpusOf(spark, sfDir, s)
       println(f"[seed] target=$s%8d -> corpus $n%8d files in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     spark.stop()

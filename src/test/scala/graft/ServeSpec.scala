@@ -46,11 +46,21 @@ class ServeSpec extends SparkSpec {
         assert(paged === "[" + all.slice(3, 6).mkString(",") + "]")
         val sugBody = get("/suggest?prefix=merge")
         assert(sugBody.contains("merge sort window"))
-        // a malformed request is a JSON error, not a dead socket
-        val err = java.net.URI.create(
-          s"http://127.0.0.1:${server.getAddress.getPort}/search").toURL
+        def status(pathQ: String): Int = java.net.URI.create(
+          s"http://127.0.0.1:${server.getAddress.getPort}$pathQ").toURL
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
-        assert(err.getResponseCode === 400)
+          .getResponseCode
+        // a malformed request is a JSON error, not a dead socket
+        assert(status("/search") === 400)
+        // pagination params come together: a lone page (or limit) is a 400,
+        // not page-1 rows silently returned for a page-3 request
+        assert(status("/search?query=merge+sort&page=3") === 400)
+        assert(status("/search?query=merge+sort&limit=5") === 400)
+        assert(status("/search?query=merge+sort&page=x&limit=3") === 400)
+        // a query that happens to start with a REPL command is searched
+        // literally, never re-parsed by the line-protocol dispatcher
+        val inj = get("/search?query=%3Asuggest+merge")
+        assert(inj.startsWith("[") && !inj.contains("\"cnt\":"))
       } finally server.stop(0)
     } finally s.close()
   }
