@@ -150,6 +150,43 @@ object OpsOracles {
        |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos
        |FROM d ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** Mirrors Similarity.annIvf (nCentroids=16, nProbe=4, k=10, query
+    * vec_id=0): codebook = the first 16 vectors, cells assigned by argmax
+    * of the 4-decimal-rounded cosine with ties to the smaller cent_id
+    * (window row_number == the engine's greatest-of-structs), the query
+    * probes its top-4 cells, exact cosine top-10 inside the probed cells. */
+  val annIvf: String =
+    s"""WITH c AS (
+       |  SELECT CAST(vec_id AS INT) AS cent_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |asg0 AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ${cosSums("e.embedding", "c.cv")}
+       |  FROM embeddings e, c, range(1, 65) r(i)
+       |  GROUP BY e.vec_id, c.cent_id),
+       |asg AS (
+       |  SELECT vec_id, cent_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos
+       |  FROM asg0),
+       |cell AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+       |    FROM asg) WHERE rn = 1),
+       |probe AS (
+       |  SELECT cent_id FROM asg WHERE vec_id = 0
+       |  ORDER BY cos DESC, cent_id ASC LIMIT 4),
+       |d AS (
+       |  SELECT e.vec_id,
+       |    ${cosSums("e.embedding", "q.qv")}
+       |  FROM embeddings e
+       |    JOIN cell ON e.vec_id = cell.vec_id
+       |    JOIN probe ON cell.cent_id = probe.cent_id,
+       |    q, range(1, 65) r(i)
+       |  GROUP BY e.vec_id)
+       |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos
+       |FROM d ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+
   /** Mirrors Similarity.nearDupPairs: pairs generated within sign-LSH
     * buckets (8 bits), never all-pairs. */
   val nearDupEmbed: String =

@@ -158,6 +158,11 @@ object SparkEntry {
       ops.Similarity.annBruteForce(Corpus.embeddings(s, dir), 0)),
     "q_ann_lsh" -> ((s, dir) =>
       ops.Similarity.annLsh(Corpus.embeddings(s, dir), 0)),
+    // O5 IVF variant: coarse-quantizer cells + probed-cell scan — the
+    // partition-pruning scale path (cells become a partition column at
+    // ingest); LSH above is the hash-bucket scale path
+    "q_ann_ivf" -> ((s, dir) =>
+      ops.Similarity.annIvf(Corpus.embeddings(s, dir), 0)),
     // O5 threshold variant: reference ImageSearchService.java:136 applies
     // a cosine > 0.3 cutoff AFTER its kNN — same plan as q_ann_brute plus
     // one post-limit filter
@@ -337,6 +342,7 @@ object SparkEntry {
       "q_dedup_simhash" -> OpsOracles.simhash,
       "q_ann_brute" -> OpsOracles.annBrute,
       "q_ann_lsh" -> OpsOracles.annLsh,
+      "q_ann_ivf" -> OpsOracles.annIvf,
       "q_ann_threshold" -> OpsOracles.annThreshold,
       "q_neardup_embed" -> OpsOracles.nearDupEmbed,
       "q_langid" -> OpsOracles.langId,

@@ -75,6 +75,34 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.probeMasks(8, 4).length === 163)
   }
 
+  test("ivf ann: probe-all == brute force; probed subset is brute-consistent") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f, -0.2f), 0),
+      (1L, Array(0.9f, 0.1f, 0.4f, -0.1f), 0),
+      (2L, Array(-1.0f, 0.2f, -0.5f, 0.2f), 1),
+      (3L, Array(0.1f, 1.0f, -0.3f, 0.6f), 1),
+      (4L, Array(0.2f, 0.9f, -0.2f, 0.5f), 1),
+      (5L, Array(1.1f, -0.1f, 0.6f, -0.3f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    // probing every cell degenerates to exact search: identical ranking
+    val all = Similarity.annIvf(e, 0, k = 6, nCentroids = 3, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.annBruteForce(e, 0, 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all === brute)
+    // nProbe < nCentroids: the query ranks itself first (its own cell is
+    // always probed) and every returned cosine matches brute force exactly
+    val sub = Similarity.annIvf(e, 0, k = 6, nCentroids = 3, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sub.head === ((0L, 1.0)))
+    val bruteCos = brute.toMap
+    sub.foreach { case (id, cos) => assert(bruteCos(id) === cos) }
+    assert(sub.size < brute.size) // one cell of three really pruned
+    assertThrows[IllegalArgumentException] {
+      Similarity.annIvf(e, 0, nCentroids = 3, nProbe = 4)
+    }
+  }
+
   test("langid picks profile with most marker hits, und when none") {
     val d = docs(1L -> "the fast and small thing", 2L -> "el que la los y",
       3L -> "zzz qqq www")
