@@ -142,6 +142,30 @@ object SparkEntry {
       graft.checkpoint.CheckpointedBuild.load(s, out)
         .searchTopK(Seq("merge", "sort", "window"))
     }),
+    // §2.8 streaming incremental loop: the corpus arrives as two staged
+    // crawler outputs; a file-source stream foreachBatch-appends each
+    // micro-batch to the docs store and runs a changedIds-scoped
+    // incremental index append — the final index must equal a fresh full
+    // build, certified by the full-corpus BM25 oracle
+    "q_bm25_streamed" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val src = s"/tmp/graft_stream_ingest_src_$tag"
+      val store = s"/tmp/graft_stream_ingest_store_$tag"
+      val out = s"/tmp/graft_ckpt_v3_stream_$tag"
+      Seq(src, store, out).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      val files = Corpus.files(s, dir)
+      val b = files.agg(min("doc_id"), max("doc_id")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val cut = lo + math.max(1L, (hi - lo + 2) / 2)
+      graft.streaming.StreamingOps.stageArrival(
+        files.filter(col("doc_id") < cut), src, 0)
+      graft.streaming.StreamingOps.stageArrival(
+        files.filter(col("doc_id") >= cut), src, 1)
+      graft.streaming.StreamingOps.indexIngest(s, src, store, out, (lo, hi))
+      graft.checkpoint.CheckpointedBuild.load(s, out)
+        .searchTopK(Seq("merge", "sort", "window"))
+    }),
     // ---- training-data pipeline ops (documents / embeddings tables) ----
     "q_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exact(Corpus.documents(s, dir))),
@@ -335,6 +359,7 @@ object SparkEntry {
         Seq("merge", "sort", "table", "scan")),
       "q_bm25_checkpointed" -> bm25(Seq("merge", "sort", "window"), Nil, None),
       "q_bm25_incremental" -> bm25(Seq("merge", "sort", "window"), Nil, None),
+      "q_bm25_streamed" -> bm25(Seq("merge", "sort", "window"), Nil, None),
       "q_dedup_exact" -> OpsOracles.dedupExact,
       "q_minhash_sig" -> OpsOracles.minhashSig,
       "q_dedup_minhash" -> OpsOracles.minhashPairs,

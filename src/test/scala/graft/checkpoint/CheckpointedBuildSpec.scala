@@ -157,6 +157,32 @@ class CheckpointedBuildSpec extends SparkSpec {
         .decoded(None).orderBy("term", "doc_id").collect().toSeq)
   }
 
+  test("streaming ingest (foreachBatch appends) == fresh batch build") {
+    val freshDir = tmpDir("streamfresh")
+    CheckpointedBuild.run(files, freshDir, nBuckets = 4)
+    val want = CheckpointedBuild.load(spark, freshDir)
+      .decoded(None).orderBy("term", "doc_id").collect().toSeq
+
+    val src = tmpDir("streamsrc")
+    val store = s"${tmpDir("streamstore")}/docs"
+    val out = tmpDir("streamidx")
+    val b = files.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val cut = lo + math.max(1L, (hi - lo + 2) / 2)
+    graft.streaming.StreamingOps.stageArrival(
+      files.filter(col("doc_id") < cut), src, 0)
+    graft.streaming.StreamingOps.stageArrival(
+      files.filter(col("doc_id") >= cut), src, 1)
+    val nBatches = graft.streaming.StreamingOps.indexIngest(
+      spark, src, store, out, (lo, hi))
+    assert(nBatches === 2) // maxFilesPerTrigger=1: one batch per arrival
+    val got = CheckpointedBuild.load(spark, out)
+      .decoded(None).orderBy("term", "doc_id").collect().toSeq
+    assert(got === want)
+    val eng = CheckpointedBuild.load(spark, out)
+    assert(eng.nDocs === files.count())
+  }
+
   test("resume with a smaller nBuckets cleans orphan buckets (no double merge)") {
     val dir = tmpDir("shrink")
     CheckpointedBuild.run(files, dir, nBuckets = 6)
