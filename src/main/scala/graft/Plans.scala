@@ -98,7 +98,29 @@ object Plans {
           "query-term occurrences, never corpus-wide occurrences and never " +
           "candidate content.",
         ceng.adjacencyCandidates(Seq("merge", "sort"),
-          ceng.candidatesAll(Seq("merge", "sort"))).get)
+          ceng.candidatesAll(Seq("merge", "sort"))).get),
+      ("ANN brute-force cosine top-k",
+        "Expect: `BroadcastNestedLoopJoin` of the ONE-ROW query vector " +
+          "(a scalar broadcast, not a cartesian hazard), the cosine fold " +
+          "as a single projection, `TakeOrderedAndProject` top-k — one " +
+          "narrow pass, zero shuffles.",
+        ops.Similarity.annBruteForce(Corpus.embeddings(spark, sfDir), 0)),
+      ("ANN LSH multi-probe",
+        "Expect: the probe ring exploded on the tiny query side and " +
+          "broadcast into an equi-join on the bucket key (at scale: a " +
+          "bucket-partitioned table prunes to the probed partitions), then " +
+          "cosine + `TakeOrderedAndProject`.",
+        ops.Similarity.annLsh(Corpus.embeddings(spark, sfDir), 0)),
+      ("ANN IVF probed-cell scan",
+        "Expect: cell assignment as a pure narrow projection (greatest over " +
+          "per-centroid rounded cosines from the broadcast codebook), a " +
+          "`cell IN (probed)` filter (at scale: partition pruning on an " +
+          "ingest-time cell column), scalar query-vector broadcast, " +
+          "`TakeOrderedAndProject` — zero shuffles end-to-end. (Dumped with " +
+          "a 2-centroid codebook so the embedded vector literals don't " +
+          "drown the plan shape; production default is 16.)",
+        ops.Similarity.annIvf(Corpus.embeddings(spark, sfDir), 0,
+          nCentroids = 2, nProbe = 1))
     )
 
     val md = new StringBuilder
