@@ -70,6 +70,36 @@ object OracleSqls {
        |  WHERE contains(lower(f.content), '$phrase')
        |)""".stripMargin
 
+  /** Batch multi-query BM25 (mirrors CompressedSearchEngine.searchMany):
+    * a VALUES-backed (qid, term) table joins the shared tf/termstats CTEs
+    * once and a per-qid window ranks on the 4-decimal-rounded score with
+    * the doc_id tiebreak — the same ordering the engine's window uses. */
+  def batchSearch(queries: Seq[(Int, Seq[String])], k: Int = 10): String = {
+    val vals = queries.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '$t')") }.mkString(", ")
+    s"""$base,
+       |queries(qid, term) AS (VALUES $vals),
+       |scored AS (
+       |  SELECT q.qid, tf.doc_id,
+       |         sum( ln((c.n_docs - ts.df + 0.5) / (ts.df + 0.5) + 1.0)
+       |              * (tf.tf * 2.2)
+       |              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ds.len / c.avgdl)) ) AS score
+       |  FROM tf
+       |  JOIN queries q ON q.term = tf.term
+       |  JOIN termstats ts ON ts.term = tf.term
+       |  JOIN docstats ds ON ds.doc_id = tf.doc_id
+       |  CROSS JOIN consts c
+       |  GROUP BY q.qid, tf.doc_id),
+       |ranked AS (
+       |  SELECT qid, doc_id, round(score, 4) AS score,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+       |  FROM scored)
+       |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score FROM ranked
+       |WHERE rn <= $k
+       |ORDER BY qid ASC, score DESC, doc_id ASC""".stripMargin
+  }
+
   /** BM25 scored top-k select over a candidate CTE (or all matching docs).
     * `offset` mirrors the engine's pagination slice (O2). */
   def bm25Select(terms: Seq[String], candCte: Option[String], k: Int = 10,

@@ -99,6 +99,14 @@ object Plans {
           "candidate content.",
         ceng.adjacencyCandidates(Seq("merge", "sort"),
           ceng.candidatesAll(Seq("merge", "sort"))).get),
+      ("Batch multi-query search (offline query replay)",
+        "Expect: ONE index parquet scan with `PushedFilters: [In(term, …)]` " +
+          "covering the whole batch's terms, the (qid, term) queries table " +
+          "broadcast into the decoded postings, partial+final hash agg on " +
+          "(qid, doc_id), and a single window (rank per qid) — Q queries, " +
+          "one scan.",
+        ceng.searchMany(Seq(0L -> Seq("merge", "sort"),
+          1L -> Seq("hash", "join")))),
       ("ANN brute-force cosine top-k",
         "Expect: `BroadcastNestedLoopJoin` of the ONE-ROW query vector " +
           "(a scalar broadcast, not a cartesian hazard), the cosine fold " +

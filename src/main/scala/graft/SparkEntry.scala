@@ -93,6 +93,13 @@ object SparkEntry {
     // MaxScore/block-range pruned top-k — rank-identical to exhaustive
     "q_bm25_pruned" -> ((s, dir) =>
       ceng(s, dir).searchPruned(Seq("merge", "sort", "window"), 10, force = true)),
+    // Batch multi-query search (offline query-replay / relevance-eval):
+    // 3 queries scored in ONE index scan, per-qid top-k from one window
+    "q_batch_search" -> ((s, dir) =>
+      ceng(s, dir).searchMany(Seq(
+        0L -> Seq("merge", "sort", "window"),
+        1L -> Seq("dup", "stream"),
+        2L -> Seq("hash", "join")))),
     // positional payload roundtrip: decode(encode(positions)) == posexplode
     "q_positions" -> ((s, dir) =>
       ceng(s, dir).occurrencesAll()
@@ -337,6 +344,10 @@ object SparkEntry {
            |SELECT term, df, CAST(ceil(df / 128.0) AS BIGINT) AS nblocks
            |FROM termstats ORDER BY term""".stripMargin,
       "q_bm25_compressed" -> bm25(Seq("merge", "sort", "window"), Nil, None),
+      "q_batch_search" -> b.batchSearch(Seq(
+        0 -> Seq("merge", "sort", "window"),
+        1 -> Seq("dup", "stream"),
+        2 -> Seq("hash", "join"))),
       "q_bm25_pruned" -> bm25(Seq("merge", "sort", "window"), Nil, None),
       "q_positions" ->
         s"""WITH ${b.filesCte},

@@ -70,6 +70,36 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
   def searchTopK(terms: Seq[String], k: Int = 10): DataFrame =
     scoreDecoded(decoded(Some(terms)), k)
 
+  /** Batch multi-query search — the offline query-replay / relevance-eval
+    * shape: score N queries in ONE index scan. The (qid, term) queries
+    * table is broadcast into the decoded postings (a single
+    * `In(term, ∪ terms)` parquet scan, so term-range file pruning is paid
+    * once for the whole batch), scores aggregate per (qid, doc_id) with
+    * map-side partial aggregation, and per-query top-k comes from one
+    * window pass over qid partitions. At scale this replaces Q sequential
+    * index scans with one: shuffle volume is Σ per-query scored postings
+    * and the scan/decode cost is shared. Rank-identical per qid to
+    * [[searchTopK]] (asserted in spec and by the DuckDB oracle). */
+  def searchMany(queries: Seq[(Long, Seq[String])], k: Int = 10): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val pairs = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+    require(pairs.nonEmpty, "searchMany needs at least one (qid, term)")
+    val qdf = pairs.toDF("qid", "term")
+    val allTerms = pairs.map(_._2).distinct
+    val perQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    decoded(Some(allTerms))
+      .join(broadcast(qdf), Seq("term"))
+      .withColumn("w", BM25.weight(avgdl, nDocs))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("w")), 4).as("score"))
+      .withColumn("rn", row_number().over(perQ))
+      .filter(col("rn") <= k)
+      .select("qid", "doc_id", "score")
+      .orderBy(col("qid").asc, col("score").desc, col("doc_id").asc)
+  }
+
   /** E5 conjunctive candidates from the index alone (docs containing ALL
     * terms), mirroring SearchEngine.candidatesAll over decoded postings. */
   def candidatesAll(terms: Seq[String]): DataFrame =

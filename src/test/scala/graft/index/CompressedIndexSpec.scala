@@ -45,6 +45,22 @@ class CompressedIndexSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("batch multi-query search == per-query searchTopK, per qid") {
+    val (_, ce) = build(17, 180, 8)
+    val queries = Seq(
+      0L -> Seq("merge", "sort", "window"),
+      1L -> Seq("dup", "rareterm"),
+      2L -> Seq("hash", "join"))
+    val got = ce.searchMany(queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    for ((qid, terms) <- queries) {
+      val want = ce.searchTopK(terms, 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(qid) === want, s"qid $qid")
+    }
+  }
+
   test("compressed exhaustive == uncompressed engine scores") {
     val (t, ce) = build(13, 150, 8)
     val se = new SearchEngine(t, "simple")
