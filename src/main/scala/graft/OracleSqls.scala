@@ -76,7 +76,7 @@ object OracleSqls {
     * the doc_id tiebreak — the same ordering the engine's window uses. */
   def batchSearch(queries: Seq[(Int, Seq[String])], k: Int = 10): String = {
     val vals = queries.flatMap { case (q, ts) =>
-      ts.map(t => s"($q, '$t')") }.mkString(", ")
+      ts.distinct.map(t => s"($q, '$t')") }.mkString(", ")
     s"""$base,
        |queries(qid, term) AS (VALUES $vals),
        |scored AS (

@@ -121,12 +121,13 @@ object Plans {
         ops.Similarity.annLsh(Corpus.embeddings(spark, sfDir), 0)),
       ("ANN IVF probed-cell scan",
         "Expect: cell assignment as a pure narrow projection (greatest over " +
-          "per-centroid rounded cosines from the broadcast codebook), a " +
-          "`cell IN (probed)` filter (at scale: partition pruning on an " +
-          "ingest-time cell column), scalar query-vector broadcast, " +
-          "`TakeOrderedAndProject` — zero shuffles end-to-end. (Dumped with " +
-          "a 2-centroid codebook so the embedded vector literals don't " +
-          "drown the plan shape; production default is 16.)",
+          "per-centroid rounded cosines from the driver-planned codebook), " +
+          "a `cell IN (probed)` filter (at scale: partition pruning on an " +
+          "ingest-time cell column), the query vector inlined as a literal " +
+          "(like query-term metadata — no join at all), " +
+          "`TakeOrderedAndProject` — one scan, zero shuffles, zero joins. " +
+          "(Dumped with a 2-centroid codebook so the embedded vector " +
+          "literals don't drown the plan shape; production default is 16.)",
         ops.Similarity.annIvf(Corpus.embeddings(spark, sfDir), 0,
           nCentroids = 2, nProbe = 1))
     )

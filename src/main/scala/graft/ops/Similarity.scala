@@ -117,19 +117,37 @@ object Similarity {
              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids,
       s"nProbe=$nProbe must be in [1, nCentroids=$nCentroids]")
-    val cents = embeddings.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").cast("int").as("cent_id"), col("embedding").as("cv"))
-    val q = embeddings.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("qv"))
-    // probed cells: top-nProbe centroids by cosine to the query vector,
-    // computed with the SAME fold arithmetic as every other cosine here
-    val probed = cents.crossJoin(broadcast(q))
-      .select(col("cent_id"), round(cosine(col("cv"), col("qv")), 4).as("cos"))
-      .orderBy(col("cos").desc, col("cent_id").asc).limit(nProbe)
-      .collect().map(_.getInt(0))
-    val codebook = cents.orderBy("cent_id").collect()
+    // bounded metadata, two pushed-down point reads: the codebook
+    // (≤ nCentroids rows) and the query vector (1 row); the probed-cell
+    // choice is then pure driver arithmetic — no extra Spark job
+    val codebook = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("int").as("cent_id"), col("embedding"))
+      .orderBy("cent_id").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
     require(codebook.nonEmpty, "empty codebook: no vec_id < nCentroids")
+    val qRows = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).limit(1).collect()
+    if (qRows.isEmpty) // unknown query id → empty result, like annBruteForce
+      return embeddings.select(col("vec_id"), lit(0.0).as("cos")).limit(0)
+    val qv = qRows(0).getSeq[Float](0)
+    // same sequential left-fold double accumulation as the cosine Column
+    // (aggregate over zip_with) and the same HALF_UP 4-decimal rounding, so
+    // the driver-side probe choice is bit-identical to the distributed
+    // computation the oracle mirrors
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dp / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probed = codebook.map { case (id, cv) => (id, cosLocal(cv, qv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(nProbe).map(_._1)
     // per-row argmax as one narrow expression: greatest over
     // struct(rounded cos, -cent_id) == (cos DESC, cent_id ASC) first row
     val scored = codebook.map { case (id, v) =>
@@ -140,11 +158,11 @@ object Similarity {
     val cellCol =
       -(if (scored.length == 1) scored.head else greatest(scored: _*))
         .getField("n")
+    val qvCol = array(qv.map(lit): _*)
     embeddings.withColumn("cell", cellCol)
       .filter(col("cell").isin(probed.map(Int.box): _*))
-      .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("qv")), 4).as("cos"))
+        round(cosine(col("embedding"), qvCol), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -83,7 +83,10 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
   def searchMany(queries: Seq[(Long, Seq[String])], k: Int = 10): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val pairs = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+    // distinct: a term duplicated within one query's list must score once,
+    // exactly like searchTopK's isin filter (a duplicate (qid, term) pair
+    // would join every posting twice and double that term's weight)
+    val pairs = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }.distinct
     require(pairs.nonEmpty, "searchMany needs at least one (qid, term)")
     val qdf = pairs.toDF("qid", "term")
     val allTerms = pairs.map(_._2).distinct

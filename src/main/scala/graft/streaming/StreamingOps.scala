@@ -132,9 +132,12 @@ object StreamingOps {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destDir))
     val tmp = s"$destDir/_tmp$seq"
     df.coalesce(1).write.parquet(tmp)
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-      .iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      finally listing.close()
     val dest = java.nio.file.Paths.get(destDir, f"arrival$seq%03d.parquet")
     java.nio.file.Files.move(part, dest)
     java.nio.file.Files.setLastModifiedTime(dest,
@@ -157,23 +160,38 @@ object StreamingOps {
     * `Trigger.AvailableNow` + `maxFilesPerTrigger=1` drain the staged
     * backlog as deterministic micro-batches for the oracle and specs; a
     * production deployment runs the IDENTICAL query on a processing-time
-    * trigger with the stream checkpoint providing exactly-once batch
-    * replay (the append run is idempotent per batch: rebuilding a bucket
-    * from the store converges to the same artifacts).
+    * trigger. Replay safety: foreachBatch is at-least-once, so the store
+    * write is a batchId-keyed OVERWRITE (a batch replayed after a crash
+    * between store write and sink commit converges instead of appending
+    * duplicate rows) and the index append itself is idempotent (rebuilding
+    * a bucket from the store converges to the same artifacts).
     *
     * Returns the number of non-empty micro-batches processed. */
   def indexIngest(spark: SparkSession, srcDir: String, storeDir: String,
                   indexDir: String, idDomain: (Long, Long),
                   nBuckets: Int = 4): Int = {
+    import scala.jdk.CollectionConverters._
     val schema = spark.read.parquet(srcDir).schema
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
-    val fn: (DataFrame, Long) => Unit = (batch, _) => {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) => {
       val bounds = batch.agg(min("doc_id"), max("doc_id")).head()
       if (!bounds.isNullAt(0)) {
         batches.incrementAndGet()
-        batch.write.mode("append").parquet(storeDir)
+        // batchId-keyed OVERWRITE, not a flat append: foreachBatch replays
+        // a batch at-least-once after a crash between the store write and
+        // the sink commit — a replayed batch must land on the same path and
+        // converge, never append duplicate rows (doubled tf/df would pass
+        // re-validation silently: the duplicated store becomes "the truth")
+        batch.write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+        val parts = {
+          val l = java.nio.file.Files.list(java.nio.file.Paths.get(storeDir))
+          try l.iterator().asScala.filter(p =>
+              java.nio.file.Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith("b")).map(_.toString).toSeq
+          finally l.close()
+        }
         graft.checkpoint.CheckpointedBuild.run(
-          spark.read.parquet(storeDir), indexDir, nBuckets = nBuckets,
+          spark.read.parquet(parts: _*), indexDir, nBuckets = nBuckets,
           idDomain = Some(idDomain),
           changedIds = Some((bounds.getLong(0), bounds.getLong(1))))
         ()

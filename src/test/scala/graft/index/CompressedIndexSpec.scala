@@ -59,6 +59,13 @@ class CompressedIndexSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got(qid) === want, s"qid $qid")
     }
+    // a term duplicated in one query's list scores once (searchTopK's isin
+    // semantics) — a naive (qid, term) join would double its weight
+    val dup = ce.searchMany(Seq(0L -> Seq("merge", "merge", "sort")), k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val dedup = ce.searchTopK(Seq("merge", "sort"), 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(dup === dedup)
   }
 
   test("compressed exhaustive == uncompressed engine scores") {
