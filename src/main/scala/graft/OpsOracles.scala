@@ -41,19 +41,59 @@ object OpsOracles {
        |SELECT doc_id, CAST(h AS BIGINT) AS h, sig FROM msig
        |ORDER BY doc_id, h""".stripMargin
 
-  val minhashPairs: String =
-    s"""WITH $wordsCtes,
+  /** Shared CTE chain ending in `pairs(doc_a, doc_b)` — the MinHash+LSH
+    * candidate pairs (MATERIALIZED: the closure oracle references it 4×
+    * and inlining would re-run the whole signature chain each time). */
+  val minhashPairCtes: String =
+    s"""$wordsCtes,
        |$minhashSigCtes,
        |bands AS (
        |  SELECT doc_id, CAST(h // 4 AS INT) AS band,
        |         md5(string_agg(lpad(CAST(h AS VARCHAR), 2, '0') || ':' || sig, '|'
        |             ORDER BY lpad(CAST(h AS VARCHAR), 2, '0') || ':' || sig)) AS bucket
        |  FROM msig GROUP BY doc_id, CAST(h // 4 AS INT)
-       |)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  val minhashPairs: String =
+    s"""WITH $minhashPairCtes
+       |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Transitive closure of the pair graph (mirrors Dedup.clusters): the
+    * recursive `walk` enumerates every (src, reachable) pair — fine at
+    * oracle scale because near-dup components are near-cliques — and
+    * comp(doc_id, cluster_id) takes the min reachable id (self-loops in
+    * `e` make every member reach itself). */
+  val componentCtes: String =
+    s"""$minhashPairCtes,
+       |e AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |  UNION SELECT doc_a, doc_a FROM pairs
+       |  UNION SELECT doc_b, doc_b FROM pairs
+       |),
+       |walk(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT w.src, e2.dst FROM walk w JOIN e e2 ON w.dst = e2.src
+       |),
+       |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+       |         FROM walk GROUP BY src)""".stripMargin
+
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $componentCtes
+       |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
+
+  val dedupReps: String =
+    s"""WITH RECURSIVE $componentCtes
+       |SELECT d.doc_id FROM documents d
+       |LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Mirrors Dedup.ngramJaccardTop with its default maxDf=100 cap active:
     * only shingles with df <= 100 generate candidate pairs; set sizes stay

@@ -181,6 +181,14 @@ object SparkEntry {
         .withColumn("h", col("h").cast("long")).orderBy("doc_id", "h")),
     "q_dedup_minhash" -> ((s, dir) =>
       ops.Dedup.minhashPairs(Corpus.documents(s, dir))),
+    // J6/S11 closure: near-dup pairs → transitive clusters → one kept
+    // representative per cluster (the actual dedup-pipeline deliverable)
+    "q_dedup_clusters" -> ((s, dir) =>
+      ops.Dedup.clusters(ops.Dedup.minhashPairs(Corpus.documents(s, dir)))),
+    "q_dedup_reps" -> ((s, dir) =>
+      ops.Dedup.representatives(Corpus.documents(s, dir),
+          ops.Dedup.minhashPairs(Corpus.documents(s, dir)))
+        .select("doc_id").orderBy("doc_id")),
     "q_dedup_jaccard" -> ((s, dir) =>
       ops.Dedup.ngramJaccardTop(Corpus.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) =>
@@ -374,6 +382,8 @@ object SparkEntry {
       "q_dedup_exact" -> OpsOracles.dedupExact,
       "q_minhash_sig" -> OpsOracles.minhashSig,
       "q_dedup_minhash" -> OpsOracles.minhashPairs,
+      "q_dedup_clusters" -> OpsOracles.dedupClusters,
+      "q_dedup_reps" -> OpsOracles.dedupReps,
       "q_dedup_jaccard" -> OpsOracles.ngramJaccard,
       "q_dedup_simhash" -> OpsOracles.simhash,
       "q_ann_brute" -> OpsOracles.annBrute,

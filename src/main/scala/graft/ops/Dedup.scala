@@ -133,6 +133,67 @@ object Dedup {
       .limit(k)
   }
 
+  /** Connected components over an undirected near-dup pair set
+    * (`doc_a`, `doc_b`) by min-label propagation: label(v) starts as
+    * min(v, min neighbor) and each round propagates the minimum one hop
+    * until fixpoint. Rounds = component diameter — tiny for near-dup
+    * graphs, because LSH band buckets emit near-cliques. Each round is one
+    * doc_id equi-join + groupBy (two bounded shuffles), persisted so the
+    * fixpoint check (a count) never recomputes the chain; at 100 TB you
+    * would additionally localCheckpoint every few rounds to truncate
+    * lineage, and for adversarial long-path graphs switch to the
+    * large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"), which bounds rounds at
+    * O(log² n) with the same per-round plan shape. No driver-side graph:
+    * the only actions are the per-round convergence counts.
+    *
+    * Output: (doc_id, cluster_id) for every doc appearing in a pair, with
+    * cluster_id = min doc_id of the component. Reference analog: the image
+    * dedup pass keeps one stored object per duplicate group
+    * (Backend/ImageStorageService.java:64-83) — this is that grouping made
+    * transitive, which is what a training-data dedup actually needs (A~B
+    * and B~C must collapse to ONE kept document even when A~C was never
+    * emitted as a pair). */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var lab = e.groupBy("src").agg(min(col("dst")).as("m"))
+      .select(col("src").as("v"), least(col("src"), col("m")).as("lab"))
+    var prev: DataFrame = null
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val prop = e.join(lab.select(col("v").as("dst"), col("lab").as("dlab")), "dst")
+        .groupBy("src").agg(min(col("dlab")).as("plab"))
+      val step = lab.join(prop.withColumnRenamed("src", "v"), Seq("v"))
+        .select(col("v"), col("lab"), least(col("lab"), col("plab")).as("nlab"))
+        .persist()
+      done = step.filter(col("nlab") < col("lab")).isEmpty
+      if (prev != null) prev.unpersist()
+      prev = step
+      lab = step.select(col("v"), col("nlab").as("lab"))
+      iter += 1
+    }
+    e.unpersist()
+    // the final round's persisted frame intentionally stays cached: the
+    // returned plan projects it, and unpersisting here would force a full
+    // recompute of the whole iteration chain on first use
+    lab.select(col("v").as("doc_id"), col("lab").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Dedup filter: keep ONE representative (min doc_id) per near-dup
+    * cluster; docs appearing in no pair survive unchanged. Survivors =
+    * documents ∖ {cluster members that are not their cluster's minimum} —
+    * a single left_anti join on doc_id after [[clusters]]. */
+  def representatives(documents: DataFrame, pairs: DataFrame,
+                      maxIter: Int = 20): DataFrame = {
+    val losers = clusters(pairs, maxIter)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    documents.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash (32-bit): bit j = sign of Σ_tokens tf · (parity of the j-th hex
     * digit of md5(token) ? +1 : −1). Pure integer arithmetic → exact in both
     * engines.

@@ -30,6 +30,32 @@ class OpsSpec extends SparkSpec {
     assert(j.head.getDouble(2) === 1.0)
   }
 
+  test("clusters: transitive closure; representatives keep min per cluster") {
+    // components: {1,2,3} (chain), {5,6}, {7,8,9} (8~9, 7~9 — min arrives
+    // at 8 only via a second hop through 9)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+    val d = docs((1L to 10L).map(i => i -> s"text number $i"): _*)
+    val reps = Dedup.representatives(d, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reps === Set(1L, 4L, 5L, 7L, 10L))
+  }
+
+  test("clusters: long path converges to one component; empty pairs is empty") {
+    // diameter-5 path — forces several propagation rounds before fixpoint
+    val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val cl = Dedup.clusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cl.toMap === (1L to 6L).map(_ -> 1L).toMap)
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusters(empty).isEmpty)
+  }
+
   test("simhash: identical docs get identical hashes; hash is stable") {
     val d = docs(1L -> "merge sort window", 2L -> "merge sort window",
       3L -> "hash join scan")
