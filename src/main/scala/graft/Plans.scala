@@ -119,6 +119,18 @@ object Plans {
           "bucket-partitioned table prunes to the probed partitions), then " +
           "cosine + `TakeOrderedAndProject`.",
         ops.Similarity.annLsh(Corpus.embeddings(spark, sfDir), 0)),
+      ("Dedup clustering — one min-label propagation round",
+        "Expect: the symmetric edge union equi-joined to current labels on " +
+          "dst (never a cartesian), min-label hash agg on src with " +
+          "map-side partial aggregation, then the least() merge joined " +
+          "back on v — two bounded doc_id shuffles per round, rounds = " +
+          "component diameter. (The converged `clusters` output plan just " +
+          "reads the cached fixpoint frame, so the round shape is dumped " +
+          "here explicitly.)",
+        { val e = ops.Dedup.symmetricEdges(
+            ops.Dedup.minhashPairs(Corpus.documents(spark, sfDir)))
+          ops.Dedup.propagationRound(e,
+            e.select(col("src").as("v"), col("dst").as("lab"))) }),
       ("ANN IVF probed-cell scan",
         "Expect: cell assignment as a pure narrow projection (greatest over " +
           "per-centroid rounded cosines from the driver-planned codebook), " +

@@ -154,22 +154,35 @@ object Dedup {
     * transitive, which is what a training-data dedup actually needs (A~B
     * and B~C must collapse to ONE kept document even when A~C was never
     * emitted as a pair). */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+  /** Symmetric edge frame (src, dst) for [[clusters]]. */
+  private[graft] def symmetricEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+
+  /** One min-label propagation round: (v, lab, nlab) where nlab =
+    * min(lab, min over neighbors' lab). Two bounded doc_id shuffles
+    * (edge⨝label equi-join + min hash agg) — the per-round plan shape
+    * audited in PLANS.md / PlanAuditSpec. */
+  private[graft] def propagationRound(e: DataFrame, lab: DataFrame): DataFrame = {
+    val prop = e.join(lab.select(col("v").as("dst"), col("lab").as("dlab")), "dst")
+      .groupBy("src").agg(min(col("dlab")).as("plab"))
+    lab.join(prop.withColumnRenamed("src", "v"), Seq("v"))
+      .select(col("v"), col("lab"), least(col("lab"), col("plab")).as("nlab"))
+  }
+
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = symmetricEdges(pairs).persist()
     var lab = e.groupBy("src").agg(min(col("dst")).as("m"))
       .select(col("src").as("v"), least(col("src"), col("m")).as("lab"))
     var prev: DataFrame = null
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val prop = e.join(lab.select(col("v").as("dst"), col("lab").as("dlab")), "dst")
-        .groupBy("src").agg(min(col("dlab")).as("plab"))
-      val step = lab.join(prop.withColumnRenamed("src", "v"), Seq("v"))
-        .select(col("v"), col("lab"), least(col("lab"), col("plab")).as("nlab"))
-        .persist()
-      done = step.filter(col("nlab") < col("lab")).isEmpty
+      val step = propagationRound(e, lab).persist()
+      // count() (not isEmpty) so the action scans — and therefore fully
+      // caches — every partition of this round's frame: later rounds and
+      // the final orderBy then never recompute the iteration chain
+      done = step.filter(col("nlab") < col("lab")).count() == 0L
       if (prev != null) prev.unpersist()
       prev = step
       lab = step.select(col("v"), col("nlab").as("lab"))

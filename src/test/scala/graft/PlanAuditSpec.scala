@@ -108,6 +108,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("bucket"), p)
   }
 
+  test("cluster propagation round: equi-join + min hash agg, never a cartesian") {
+    val pairs = ops.Dedup.minhashPairs(Corpus.documents(spark, sf))
+    val e = ops.Dedup.symmetricEdges(pairs)
+    val p = plan(ops.Dedup.propagationRound(e,
+      e.select(col("src").as("v"), col("dst").as("lab"))))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("candidate membership is a semi join, not a materialized set") {
     val p = plan(eng.search("\"hash join\" AND \"merge sort\""))
     assert(p.contains("LeftSemi"), p)
