@@ -49,17 +49,30 @@ object Dedup {
       )).as("shingle"))
 
   /** One row per doc with all nHashes MinHash minima as columns m0..m{n-1}.
-    * ONE wide exchange for the whole signature computation: the h-loop runs
-    * as nHashes aggregate columns over the raw shingle stream instead of a
-    * ×nHashes row explosion (the md5 count is identical; the shuffle and
-    * hash-agg probe count drop ×nHashes), and the shingle `distinct()` is
-    * dropped because duplicates can never change a min — that removes a
-    * second corpus-wide exchange. Map-side partial min keeps the exchange at
-    * one row per (doc, partial). */
+    * ZERO exchanges: the whole signature is ONE fused codegen'd expression
+    * eval per document (graft.functions.MinHashSigs — the CompactTokens
+    * pattern applied to dedup). The previous shape exploded one row per
+    * shingle and ran nHashes min(md5(...)) aggregate columns through a
+    * doc_id hash agg; the md5 count is identical here (min over shingles of
+    * md5("h|" + shingle), same hash family the DuckDB oracle mirrors,
+    * digest-compared so only final minima pay hex conversion) but there are
+    * no per-shingle rows, no agg probes and no exchange at all. Docs with
+    * < 3 words have no shingles → null signature → filtered, exactly the
+    * rows the groupBy formulation dropped. The wide m0..m{n-1} projection
+    * extracts from ONE evaluated array (CollapseProject keeps a non-cheap
+    * multi-referenced alias in its own project — plan-audited). */
   private def minhashWide(documents: DataFrame, nHashes: Int): DataFrame = {
-    val mins = (0 until nHashes).map(h =>
-      min(md5(concat(lit(s"$h|"), col("shingle")))).as(s"m$h"))
-    shingles(documents).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    // explode_outer + isNotNull on the GENERATOR OUTPUT (the Stats.postings
+    // pattern): a filter on the expression value itself would be pushed
+    // below the projection by predicate substitution and evaluate the whole
+    // signature twice per row
+    documents
+      .select(col("doc_id"), explode_outer(graft.functions.GraftFunctions
+        .minhashSigs(wordsCol(col("text")), nHashes)).as("ms"))
+      .filter(col("ms").isNotNull)
+      .select(col("doc_id") +:
+        (0 until nHashes).map(h => col("ms").getItem(h).as(s"m$h")): _*)
   }
 
   /** MinHash signatures: sig(doc, h) = min over distinct shingles of
@@ -89,10 +102,17 @@ object Dedup {
         col("bb.bucket").as("bucket"))
   }
 
-  /** MinHash+LSH candidate pairs: docs sharing any band bucket. */
+  /** MinHash+LSH candidate pairs: docs sharing any band bucket. The bucket
+    * frame is explicitly repartitioned on the join key BEFORE the self-join:
+    * with the fused narrow signature expression there is no aggregation
+    * exchange left in the plan, so without this the self-join's second side
+    * would recompute every signature from the raw text (the exchange is what
+    * Spark's ReuseExchange dedups — plan-audited). One tiny (band, bucket,
+    * doc_id) exchange replaces the old signature-agg exchange. */
   def minhashPairs(documents: DataFrame, nHashes: Int = 16,
                    rowsPerBand: Int = 4): DataFrame = {
     val b = lshBuckets(documents, nHashes, rowsPerBand)
+      .repartition(col("band"), col("bucket"))
     val l = b.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val r = b.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     l.join(r, Seq("band", "bucket"))
@@ -209,29 +229,17 @@ object Dedup {
 
   /** SimHash (32-bit): bit j = sign of Σ_tokens tf · (parity of the j-th hex
     * digit of md5(token) ? +1 : −1). Pure integer arithmetic → exact in both
-    * engines.
-    *
-    * ONE doc_id exchange (the minhashWide trick): Σ over distinct terms of
-    * tf·sign equals Σ over raw token occurrences of sign, so the (doc,term)
-    * tf groupBy is dropped and the 32-way bit loop runs as 32 conditional-sum
-    * aggregate columns over the occurrence stream — no ×32 row explosion, no
-    * two-level groupBy (the r2 shape shuffled 32× posting-scale rows). md5 is
-    * evaluated once per occurrence (narrow, codegen'd); map-side partial sums
-    * keep the exchange at one 32-column row per (doc, partition). */
+    * engines. Fully narrow since r6 — no explode, no agg, no exchange. */
   def simhash(documents: DataFrame): DataFrame = {
-    val toks = withWords(documents)
-      .select(col("doc_id"), explode(col("words")).as("term"))
-      .withColumn("h", md5(col("term")))
-    // digit_j = instr('0123456789abcdef', substring(h, j+1, 1)) - 1; contrib
-    // is +1 when digit_j is odd ⇔ instr % 2 == 0 (same parity as the r2 path)
-    val sums = (0 until 32).map { j =>
-      sum(when(expr(s"instr('0123456789abcdef', substring(h, ${j + 1}, 1)) % 2") === 0,
-        lit(1L)).otherwise(lit(-1L))).as(s"s$j")
-    }
-    toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    // ONE fused expression eval per doc (graft.functions.SimHashVal): same
+    // md5-hex-digit-parity family as the 32 conditional-sum aggregate
+    // columns it replaces (digit j odd → +1 else −1, bit j = sum > 0), but
+    // with no token explode, no 32-column agg and no doc_id exchange. Docs
+    // with zero tokens → null → filtered (the rows groupBy dropped).
+    documents.select(col("doc_id"), explode_outer(graft.functions
+        .GraftFunctions.simhashVal(wordsCol(col("text")))).as("simhash"))
+      .filter(col("simhash").isNotNull)
       .orderBy("doc_id")
   }
 }

@@ -19,17 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) over float arrays as exact double folds. */
+  /** dot(a, b) over float arrays as exact double folds (kept as the
+    * HOF reference formulation; [[cosine]] uses the fused codegen'd
+    * expression with identical arithmetic). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine as ONE fused codegen'd primitive loop
+    * (graft.functions.CosineSim). The previous `aggregate`/`zip_with`
+    * composition is a Spark higher-order function — CodegenFallback, i.e.
+    * an interpreted expression-tree walk per array element, three folds per
+    * row. The fused loop keeps the exact sequential left-fold double
+    * arithmetic (same association order), so results are bit-identical
+    * (property-asserted in VectorExprSpec against the HOF formulation). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** Brute-force cosine top-k against the vector of `queryVecId`. */
   def annBruteForce(embeddings: DataFrame, queryVecId: Long, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qv"))
     embeddings.crossJoin(broadcast(q))
@@ -78,6 +89,7 @@ object Similarity {
     * non-equi join. */
   def annLsh(embeddings: DataFrame, queryVecId: Long, k: Int = 10,
              nBits: Int = 8, radius: Int = AnnProbeRadius): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val withBucket = embeddings
       .withColumn("bucket", signBucketExpr(nBits))
     val probeList = array(probeMasks(nBits, radius).map(m =>
@@ -117,19 +129,23 @@ object Similarity {
              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids,
       s"nProbe=$nProbe must be in [1, nCentroids=$nCentroids]")
-    // bounded metadata, two pushed-down point reads: the codebook
-    // (≤ nCentroids rows) and the query vector (1 row); the probed-cell
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // bounded metadata in ONE pushed-down point read (≤ nCentroids + 1
+    // rows): codebook and query vector share a job — the second driver
+    // round-trip was pure latency on the serving path; the probed-cell
     // choice is then pure driver arithmetic — no extra Spark job
-    val codebook = embeddings.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").cast("int").as("cent_id"), col("embedding"))
-      .orderBy("cent_id").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val meta = embeddings
+      .filter(col("vec_id") < nCentroids || col("vec_id") === queryVecId)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val codebook = meta.filter(_._1 < nCentroids)
+      .map { case (id, v) => (id.toInt, v) }
     require(codebook.nonEmpty, "empty codebook: no vec_id < nCentroids")
-    val qRows = embeddings.filter(col("vec_id") === queryVecId)
-      .select(col("embedding")).limit(1).collect()
+    val qRows = meta.filter(_._1 == queryVecId).map(_._2)
     if (qRows.isEmpty) // unknown query id → empty result, like annBruteForce
       return embeddings.select(col("vec_id"), lit(0.0).as("cos")).limit(0)
-    val qv = qRows(0).getSeq[Float](0)
+    val qv = qRows(0)
     // same sequential left-fold double accumulation as the cosine Column
     // (aggregate over zip_with) and the same HALF_UP 4-decimal rounding, so
     // the driver-side probe choice is bit-identical to the distributed
@@ -175,12 +191,12 @@ object Similarity {
 
   /** Axis-aligned sign LSH bucket over the `embedding` column: bit d =
     * (v[d+1] > 0), d ∈ [0, nBits). Exact on float inputs (no accumulation),
-    * hence engine-identical. */
+    * hence engine-identical. Fused codegen'd loop
+    * (graft.functions.SignBucket) — the previous `aggregate`/`zip_with`/
+    * `pow` HOF chain is CodegenFallback (interpreted per element); same
+    * null/short-array semantics, asserted in VectorExprSpec. */
   def signBucketExpr(nBits: Int = 8): Column =
-    expr(s"""aggregate(
-       |  zip_with(slice(embedding, 1, $nBits), sequence(0, ${nBits - 1}),
-       |    (x, i) -> IF(x > 0, CAST(pow(2, i) AS BIGINT), 0L)),
-       |  0L, (acc, b) -> acc + b)""".stripMargin)
+    graft.functions.GraftFunctions.signBucket(col("embedding"), nBits)
 
   /** Embedding-cosine near-dup: top-k most similar pairs among vectors
     * sharing a sign-LSH bucket. The pair generator is an equi-join on the
@@ -190,6 +206,7 @@ object Similarity {
     * recall concentrates exactly where the operator looks. `nBits` tunes
     * the bucket count (raise it as the corpus grows). */
   def nearDupPairs(embeddings: DataFrame, k: Int = 20, nBits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding"),
       signBucketExpr(nBits).as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))

@@ -68,13 +68,18 @@ object TextAnalysis {
   }
 
   /** Rolling 8-char-window fingerprint: lexicographic min of the md5 of
-    * every 8-gram (winnowing with window = whole doc). The min is folded
-    * incrementally with `aggregate` — O(1) strings live per row instead of
-    * one md5 string per char position, so an MB-scale file costs the same
-    * memory as a KB one ('g' init sorts after every hex digest). */
-  def fingerprint(documents: DataFrame): DataFrame =
+    * every 8-gram (winnowing with window = whole doc). ONE fused codegen'd
+    * expression eval per document (graft.functions.FingerprintMin) — the
+    * previous `aggregate(sequence(...), 'g', least(acc, md5(substring)))`
+    * HOF fold is CodegenFallback: an interpreted expression-tree walk plus a
+    * 32-char hex string allocation per character position (measured 3.4 s
+    * noop-sink at sf0.1 where the fused loop compares raw digests and hex-
+    * encodes only the final minimum). Same md5-over-8-char-window semantics,
+    * windows cut at code-point boundaries exactly like `substring`. */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(col("doc_id"),
-        expr("""aggregate(sequence(1, greatest(length(text) - 7, 1)), 'g',
-                |  (acc, i) -> least(acc, md5(substring(text, i, 8))))""".stripMargin).as("fp"))
+        graft.functions.GraftFunctions.fingerprintMin(col("text")).as("fp"))
       .orderBy("doc_id")
+  }
 }

@@ -103,13 +103,35 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
       .orderBy(col("qid").asc, col("score").desc, col("doc_id").asc)
   }
 
+  /** Per-row bit mask assigning bit i to the i-th distinct term — the
+    * single-phase replacement for countDistinct(term): bit_count(bit_or) ==
+    * n is exactly "all n distinct terms present" without the two-exchange
+    * plan Spark gives countDistinct (partial distinct agg keyed (doc_id,
+    * term), then a second exchange keyed doc_id). Query term lists are tiny,
+    * so the when-chain is a few comparisons per row. */
+  private def termMaskCol(dts: Seq[String]): org.apache.spark.sql.Column =
+    dts.tail.zipWithIndex.foldLeft(
+      when(col("term") === dts.head, lit(1L))) { case (acc, (t, i)) =>
+        acc.when(col("term") === t, lit(1L << (i + 1)))
+    }.otherwise(lit(0L))
+
   /** E5 conjunctive candidates from the index alone (docs containing ALL
-    * terms), mirroring SearchEngine.candidatesAll over decoded postings. */
+    * terms), mirroring SearchEngine.candidatesAll over decoded postings.
+    * ONE single-phase aggregation (bit_or of per-term bits + popcount — the
+    * same trick adjacencyCandidates uses) instead of countDistinct's
+    * two-exchange plan: halves the exchanges of every phrase/bool candidate
+    * pass. Duplicate terms in `terms` make the filter unsatisfiable in both
+    * formulations (countDistinct ≤ distinct < length ⇔ popcount ≤ distinct
+    * < length). Falls back to countDistinct past 63 distinct terms. */
   def candidatesAll(terms: Seq[String]): DataFrame =
     if (terms.isEmpty) index.sparkSession.range(0).select(col("id").as("doc_id"))
+    else if (terms.distinct.length > 63)
+      decoded(Some(terms)).groupBy("doc_id")
+        .agg(countDistinct(col("term")).as("nt"))
+        .filter(col("nt") === terms.length).select("doc_id")
     else decoded(Some(terms)).groupBy("doc_id")
-      .agg(countDistinct(col("term")).as("nt"))
-      .filter(col("nt") === terms.length).select("doc_id")
+      .agg(bit_or(termMaskCol(terms.distinct)).as("tm"))
+      .filter(bit_count(col("tm")) === terms.length).select("doc_id")
 
   /** Decoded occurrence view (term, doc_id, pos) over the whole index (or a
     * term subset) — the positions encode∘decode = id roundtrip surface. */
@@ -167,14 +189,27 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
     val sn = (tn +: exp.filter(_.startsWith(tn)).toSeq).distinct
     val slots: Seq[Seq[String]] =
       s1 +: phraseToks.slice(1, n - 1).map(Seq(_)) :+ sn
+    // POSTING-granular slot streams (doc_id, ps, slot): the candidate semi
+    // join below probes one row per posting instead of one per occurrence —
+    // on a high-tf code corpus (content ×8 ⇒ tf ≥ 8 for every present
+    // term) that is ≥8× fewer union rows and join probes; positions explode
+    // to occurrence rows only AFTER the narrowing, where the (doc_id,
+    // start) aggregation needs them.
     val slotDfs = slots.zipWithIndex.map { case (ts, i) =>
-      occurrences(rowsFor(ts))
-        .select(col("doc_id"), (col("pos") - i).as("start"), lit(i).as("slot"))
+      rowsFor(ts).select(
+          explode(graft.functions.GraftFunctions.decodeDocPositions(
+            col("postings"), col("positions"))).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.ps").as("ps"),
+          lit(i).as("slot"))
     }
     // candidate narrowing before the wide aggregation — AQE turns this into
-    // a broadcast semi join when cand0 is small, so the occurrence stream is
-    // filtered map-side and only candidate occurrences reach the exchange
-    def narrowed(df: DataFrame) = df.join(cand0, Seq("doc_id"), "left_semi")
+    // a broadcast semi join when cand0 is small, so the posting stream is
+    // filtered map-side and only candidate postings reach the explode
+    val narrowed = slotDfs.reduce(_ unionByName _)
+      .join(cand0, Seq("doc_id"), "left_semi")
+    val occ = narrowed
+      .select(col("doc_id"), col("slot"), explode(col("ps")).as("pos"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("start"), col("slot"))
     // distinct-slot completeness as ONE single-phase aggregation: slots are
     // small ints, so bit_or of (1 << slot) + popcount == n is exactly
     // count_distinct(slot) == n without the expand + two-phase agg Spark
@@ -183,16 +218,17 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
     // exist, but fall back to countDistinct for completeness
     val complete =
       if (n <= 63)
-        narrowed(slotDfs.reduce(_ unionByName _))
-          .groupBy("doc_id", "start")
+        occ.groupBy("doc_id", "start")
           .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), slot)")).as("mask"))
           .filter(bit_count(col("mask")) === n)
       else
-        narrowed(slotDfs.reduce(_ unionByName _))
-          .groupBy("doc_id", "start")
+        occ.groupBy("doc_id", "start")
           .agg(countDistinct(col("slot")).as("ns"))
           .filter(col("ns") === n)
-    Some(complete.select("doc_id").distinct())
+    // no .distinct(): every consumer is a left_semi probe or a flag groupBy,
+    // both of which tolerate (and dedup) repeated doc_ids — the explicit
+    // distinct planned a whole extra exchange + two-phase aggregate
+    Some(complete.select("doc_id"))
   }
 
   /** P4 phrase candidates: conjunctive tokens, optionally narrowed by the
@@ -214,9 +250,12 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
                        analyzer: String = "simple",
                        forcePositional: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(files.sparkSession)
+    // AsciiContains folds [A-Z] on the fly during the byte search — the
+    // verify scan no longer allocates a lowered copy of every candidate's
+    // content (guide §4: one fused primitive loop per row)
     files.join(phraseCandSet(phrase, analyzer, forcePositional),
         Seq("doc_id"), "left_semi")
-      .filter(contains(graft.functions.GraftFunctions.asciiLower(col("content")),
+      .filter(graft.functions.GraftFunctions.asciiContains(col("content"),
         lit(graft.functions.AsciiLower.lowerString(phrase))))
       .select("doc_id")
   }
@@ -254,52 +293,83 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
       case Tokens(text) => scoreCand(toks(text), None, k)
       case Phrase(p)    => scoreCand(toks(p), Some(phr(p)), k)
       case Bool(op, p1, p2) =>
-        // ONE shared corpus scan for both phrases' substring verifies: the
-        // naive plan (phraseCandidates per phrase + semi/anti join) scans
-        // `files` content twice — the dominant cost of a boolean query
-        // (round 3 measured bool_or at 2× phrase for exactly this reason).
-        // The hydration set is further narrowed per operator: a doc outside
-        // s1 ∩ s2 can never satisfy AND, and a NOT result is a subset of
-        // phrase 1's matches — only OR genuinely needs the union. At scale
-        // an AND of two selective phrases must not pay the union's content
-        // read. Membership flags gate each `contains` so every side keeps
-        // its exact candidates∩substring semantics (reference dbManager
-        // verify): a doc outside a phrase's candidate set cannot match it
-        // even if the raw substring happens to occur.
-        val s1 = phraseCandSet(p1, analyzer, forcePositional)
-        val s2 = phraseCandSet(p2, analyzer, forcePositional)
-        def lowered(p: String) = lit(graft.functions.AsciiLower.lowerString(p))
-        val lc = graft.functions.GraftFunctions.asciiLower(col("content")).as("lc")
-        val c1 = contains(col("lc"), lowered(p1))
-        val c2 = contains(col("lc"), lowered(p2))
-        val cand = op match {
-          case "and" =>
-            files.join(s1.join(s2, Seq("doc_id"), "left_semi"),
-                Seq("doc_id"), "left_semi")
-              .select(col("doc_id"), lc)
-              .filter(c1 && c2)
-              .select("doc_id")
-          case "not" =>
-            // s2 membership rides along as a null-safe flag: a doc in s1
-            // but outside s2 passes regardless of its content (phrase 2
-            // cannot match without its conjunctive candidates).
-            val flagged = s1.join(s2.select(col("doc_id"), lit(1).as("in2")),
-              Seq("doc_id"), "left_outer")
-            files.join(flagged, Seq("doc_id"))
-              .select(col("doc_id"), col("in2"), lc)
-              .filter(c1 && !(coalesce(col("in2"), lit(0)) === 1 && c2))
-              .select("doc_id")
-          case "or" =>
-            val flagged = s1.select(col("doc_id"), lit(1).as("in1"), lit(0).as("in2"))
+        // ONE shared corpus scan for both phrases' substring verifies (the
+        // naive per-phrase phraseCandidates plan scans `files` content
+        // twice — round 3 measured bool_or at 2× phrase from that), and —
+        // non-positional path — ONE shared INDEX scan for both phrases'
+        // conjunctive candidate sets: the union of both phrases' tokens is
+        // decoded once and a single bit_or mask aggregation yields both
+        // memberships ("does this doc hold all of phrase i's tokens" = mask
+        // covers the phrase's bits), replacing two decode+agg subtrees plus
+        // the union/outer-join flag plumbing with one exchange. The
+        // hydration set stays operator-narrowed: a doc outside s1 ∩ s2 can
+        // never satisfy AND, and a NOT result is a subset of phrase 1's
+        // matches — only OR genuinely needs the union. Membership flags
+        // gate each contains so every side keeps its exact
+        // candidates∩substring semantics (reference dbManager verify): a
+        // doc outside a phrase's candidate set cannot match it even if the
+        // raw substring happens to occur.
+        val usePositional = analyzer == "simple" &&
+          (forcePositional || nDocs >= CompressedSearchEngine.PhraseGateDocs)
+        val ts1 = toks(p1)
+        val ts2 = toks(p2)
+        // (doc_id, in1, in2) int flags; rows only for docs in s1 ∪ s2
+        val flagged: DataFrame =
+          if (usePositional) {
+            // adjacency pre-filter works per phrase — keep per-set plans
+            val s1 = phraseCandSet(p1, analyzer, forcePositional)
+            val s2 = phraseCandSet(p2, analyzer, forcePositional)
+            s1.select(col("doc_id"), lit(1).as("in1"), lit(0).as("in2"))
               .unionByName(s2.select(col("doc_id"), lit(0).as("in1"), lit(1).as("in2")))
               .groupBy("doc_id")
               .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
+          } else {
+            val u = (ts1 ++ ts2).distinct
+            if (u.isEmpty || u.length > 63)
+              // no tokens (empty sets) or a >63-term union: per-set fallback
+              candidatesAll(ts1).select(col("doc_id"), lit(1).as("in1"), lit(0).as("in2"))
+                .unionByName(candidatesAll(ts2)
+                  .select(col("doc_id"), lit(0).as("in1"), lit(1).as("in2")))
+                .groupBy("doc_id")
+                .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
+            else {
+              val bit = u.zipWithIndex.map { case (t, i) => t -> (1L << i) }.toMap
+              // empty phrase ⇒ empty candidate set ⇒ never a member
+              val m1 = if (ts1.isEmpty) -1L else ts1.map(bit).reduce(_ | _)
+              val m2 = if (ts2.isEmpty) -1L else ts2.map(bit).reduce(_ | _)
+              def memberOf(m: Long) =
+                if (m == -1L) lit(0)
+                else when(col("tm").bitwiseAND(lit(m)) === m, 1).otherwise(0)
+              decoded(Some(u)).groupBy("doc_id")
+                .agg(bit_or(termMaskCol(u)).as("tm"))
+                .select(col("doc_id"), memberOf(m1).as("in1"), memberOf(m2).as("in2"))
+                .filter(col("in1") === 1 || col("in2") === 1)
+            }
+          }
+        def lowered(p: String) = lit(graft.functions.AsciiLower.lowerString(p))
+        // zero-allocation case-folding byte search (graft.functions
+        // .AsciiContains) — no lowered content copy per candidate row
+        val c1 = graft.functions.GraftFunctions.asciiContains(col("content"), lowered(p1))
+        val c2 = graft.functions.GraftFunctions.asciiContains(col("content"), lowered(p2))
+        val cand = op match {
+          case "and" =>
+            files.join(flagged.filter(col("in1") === 1 && col("in2") === 1)
+                .select("doc_id"), Seq("doc_id"), "left_semi")
+              .filter(c1 && c2)
+              .select("doc_id")
+          case "not" =>
+            // a doc in s1 but outside s2 passes regardless of its content
+            // (phrase 2 cannot match without its conjunctive candidates)
+            files.join(flagged.filter(col("in1") === 1)
+                .select(col("doc_id"), col("in2")), Seq("doc_id"))
+              .filter(c1 && !(col("in2") === 1 && c2))
+              .select("doc_id")
+          case "or" =>
             files.join(flagged, Seq("doc_id"))
-              .select(col("doc_id"), col("in1"), col("in2"), lc)
               .filter((col("in1") === 1 && c1) || (col("in2") === 1 && c2))
               .select("doc_id")
         }
-        val terms = if (op == "not") toks(p1) else (toks(p1) ++ toks(p2)).distinct
+        val terms = if (op == "not") ts1 else (ts1 ++ ts2).distinct
         scoreCand(terms, Some(cand), k)
     }
   }

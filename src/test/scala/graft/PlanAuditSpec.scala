@@ -71,29 +71,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(sorts == 1, s"expected 1 Sort (post-shuffle only), got $sorts in:\n$p")
   }
 
-  test("minhash pipeline: one signature computation, no collect_list") {
+  test("minhash pipeline: one fused signature eval, reused bucket exchange") {
     val df = ops.Dedup.minhashPairs(Corpus.documents(spark, sf))
     df.collect() // AQE finalizes the plan at runtime
     val p = df.queryExecution.executedPlan.toString
-    // the 16 hash minima are aggregate COLUMNS over the raw shingle stream
-    // (one groupBy(doc_id) exchange); band buckets derive from the wide
-    // row, and the self-join's second side REUSES the signature exchange
-    // rather than recomputing the shingle scan
+    val fin = p.split("== Initial Plan ==").head
+    // the whole signature is ONE narrow expression eval per document (r6 —
+    // no shingle explode, no groupBy agg); the explicit (band, bucket)
+    // repartition before the self-join is the ONLY signature-bearing
+    // exchange and the join's second side REUSES it instead of recomputing
+    // signatures from the raw text
     assert(p.contains("ReusedExchange"), p)
     assert(!p.contains("collect_list"), p)
+    val sigEvals = "minhashsigs".r.findAllIn(fin).length
+    assert(sigEvals == 1,
+      s"expected 1 minhashsigs eval in the final plan, got $sigEvals in:\n$fin")
   }
 
-  test("simhash: one exchange, 32 bit-sums as aggregate columns") {
+  test("simhash: fully narrow — no explode, no agg, no exchange before sort") {
     val df = ops.Dedup.simhash(Corpus.documents(spark, sf))
     val p = plan(df)
-    // the 32 bit-plane sums are conditional-sum aggregate COLUMNS over the
-    // raw token stream: exactly one doc_id hash exchange (plus the final
-    // orderBy's range exchange), no ×32 row explosion, no two-level groupBy
+    // r6: the 32 bit-plane sums are folded inside ONE fused expression per
+    // document — the only exchange left is the final orderBy's range
+    // partitioning, and the expression evaluates exactly once per row (the
+    // explode_outer generator barrier keeps the isNotNull filter from being
+    // substituted below the projection)
     val hashEx = "hashpartitioning\\(doc_id".r.findAllIn(p).length
-    assert(hashEx == 1, s"expected 1 doc_id hash exchange, got $hashEx in:\n$p")
-    assert(!p.toLowerCase.contains("explode(sequence"), p)
+    assert(hashEx == 0, s"expected 0 doc_id hash exchanges, got $hashEx in:\n$p")
     val aggs = "\\bHashAggregate".r.findAllIn(p).length
-    assert(aggs == 2, s"expected partial+final aggregate only, got $aggs in:\n$p")
+    assert(aggs == 0, s"expected no aggregates, got $aggs in:\n$p")
+    val evals = "simhashval".r.findAllIn(p).length
+    assert(evals == 1, s"expected 1 simhashval eval, got $evals in:\n$p")
   }
 
   test("boolean NOT candidates: anti join, no distinct aggregates on the sets") {
@@ -147,8 +155,16 @@ class PlanAuditSpec extends SparkSpec {
       // two-scans-of-files shape made bool_or cost 2× bool_and (r3)
       val scans = "documents\\.parquet".r.findAllIn(p).length
       assert(scans == 1, s"[$q] expected 1 corpus scan, got $scans in:\n$p")
-      // both phrases' substring predicates reach that one scan
-      assert(p.contains("Contains(asciilower"), p)
+      // both phrases' substring predicates reach that one scan, as the
+      // zero-allocation case-folding search (r6 — no lowered content copy)
+      assert(p.contains("asciicontains"), p)
+      assert(!p.contains("Contains(asciilower"), p)
+      // r6: BOTH phrases' conjunctive candidate sets come from ONE decoded
+      // index scan (union-of-terms bit mask agg) + one scoring scan — the
+      // per-phrase candidatesAll subtrees were the third index scan
+      val idxScans = "graft_planspec_index_bool".r.findAllIn(p).length
+      assert(idxScans == 2,
+        s"[$q] expected 2 index scans (candidates + scoring), got $idxScans in:\n$p")
     }
   }
 }

@@ -67,6 +67,20 @@ class PhrasePositionalSpec extends SparkSpec {
     }
   }
 
+  test("full phrase + boolean search: compressed NON-positional (fused " +
+      "single-scan boolean candidates, r6) == baseline") {
+    for (q <- Seq("\"hash join\"", "\"hash join\" AND \"join beta\"",
+        "\"hash join\" OR \"nothing to\"", "\"hash join\" NOT \"rehash\"",
+        "\"hash join\" AND \"hash join\"", "\"absent\" OR \"hash join\"",
+        "\"hash join\" NOT \"hash join\"")) {
+      val got = ce.search(q, files, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = se.search(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === want, s"query [$q]")
+    }
+  }
+
   test("positions roundtrip: decode(encode) == posexplode of the analyzer") {
     val got = ce.occurrencesAll()
       .select("term", "doc_id", "pos")
