@@ -18,6 +18,17 @@ object GraftSession {
       .master(s"local[$parallelism]")
       .appName(app)
       .config("spark.sql.shuffle.partitions", parallelism.toString)
+      // Query-scan split granularity aligned with the index's 4 MB chunk
+      // payload (InvertedIndex.ChunkTargetBytes): a 3-term BM25 query reads
+      // ~tens of MB of term-pruned chunk rows, and at the 128 MB default
+      // that whole decode+partial-agg ran as 1-2 tasks (measured 1.6 s,
+      // near-serial, at the 480k-file bench corpus; ~0.5 s once split).
+      // Scale-adaptive by construction: split count follows the bytes a
+      // query actually scans, so big batch scans still get big-task
+      // amortization via many-files packing while point queries fan out.
+      // The index-build session overrides this explicitly (16 MB,
+      // IndexBuildJob) — build scans are throughput-, not latency-bound.
+      .config("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -274,9 +274,17 @@ object InvertedIndex {
             .head().getLong(0)
           math.max(32L, (bytes + WriteTargetBytes - 1) / WriteTargetBytes).toInt
         }
+      // Row groups sized to ONE chunk row (ChunkTargetBytes): parquet scans
+      // split at row-group granularity, so the default 128 MB row groups
+      // made a term's whole posting data one read task no matter what
+      // maxPartitionBytes asked for (measured: a 3-term BM25 decode+agg ran
+      // 1-2 tasks at 480k docs). Chunk-sized row groups give query scans
+      // chunk-level parallelism AND per-chunk term min/max stats (finer
+      // row-group pruning for point lookups).
       io.overwrite(
         cached.repartitionByRange(parts, col("term"), col("chunk_id"))
-          .sortWithinPartitions("term", "chunk_id"), path)
+          .sortWithinPartitions("term", "chunk_id"), path,
+        Map("parquet.block.size" -> ChunkTargetBytes.toString))
     } finally cached.unpersist()
   }
 

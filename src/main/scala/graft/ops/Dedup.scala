@@ -34,6 +34,18 @@ object Dedup {
       wordsCol(col("text")).as("words"))
   }
 
+  /** Spread a narrow heavy-compute stage across the cluster when the input
+    * has fewer splits than cores (the driver's documents table is ONE
+    * parquet file, so md5-heavy per-doc expressions otherwise run serial —
+    * measured: the fused minhash signature stage was input-split-bound, not
+    * md5-bound). Conditional: a 100 TB input already has thousands of
+    * splits and must NOT pay a raw-text shuffle for parallelism. */
+  private[ops] def widen(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, cores / 2)) df
+    else df.repartition(cores)
+  }
+
   /** Exact dedup: hash-groupBy on the content digest; keeper = min doc_id. */
   def exact(documents: DataFrame): DataFrame =
     documents.groupBy(md5(col("text")).as("grp"))
@@ -67,7 +79,7 @@ object Dedup {
     // pattern): a filter on the expression value itself would be pushed
     // below the projection by predicate substitution and evaluate the whole
     // signature twice per row
-    documents
+    widen(documents)
       .select(col("doc_id"), explode_outer(graft.functions.GraftFunctions
         .minhashSigs(wordsCol(col("text")), nHashes)).as("ms"))
       .filter(col("ms").isNotNull)

@@ -78,7 +78,9 @@ object TextAnalysis {
     * windows cut at code-point boundaries exactly like `substring`. */
   def fingerprint(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    documents.select(col("doc_id"),
+    // widen: ~290 md5 digests per document is the heaviest per-row compute
+    // of the narrow ops — on the single-split documents file it ran serial
+    Dedup.widen(documents).select(col("doc_id"),
         graft.functions.GraftFunctions.fingerprintMin(col("text")).as("fp"))
       .orderBy("doc_id")
   }

@@ -15,8 +15,11 @@ trait TableIO {
   /** Read the table's current snapshot. */
   def read(spark: SparkSession, table: String): DataFrame
 
-  /** Atomically replace the table's content (write-audit-publish). */
-  def overwrite(df: DataFrame, table: String): Unit
+  /** Atomically replace the table's content (write-audit-publish).
+    * `options` are format-layer hints (e.g. parquet row-group size for the
+    * index table — Iceberg analog: table write properties). */
+  def overwrite(df: DataFrame, table: String,
+                options: Map[String, String] = Map.empty): Unit
 
   /** Conflict-free append of one batch (Iceberg: fast-append snapshot). */
   def append(df: DataFrame, table: String): Unit
@@ -34,8 +37,9 @@ object ParquetTableIO extends TableIO {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(table)
 
-  def overwrite(df: DataFrame, table: String): Unit =
-    df.write.mode("overwrite").parquet(table)
+  def overwrite(df: DataFrame, table: String,
+                options: Map[String, String] = Map.empty): Unit =
+    df.write.options(options).mode("overwrite").parquet(table)
 
   def append(df: DataFrame, table: String): Unit =
     df.write.mode("append").parquet(table)
