@@ -202,33 +202,38 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
         .select(col("e.doc_id").as("doc_id"), col("e.ps").as("ps"),
           lit(i).as("slot"))
     }
-    // candidate narrowing before the wide aggregation — AQE turns this into
+    // candidate narrowing before the doc-grouped check — AQE turns this into
     // a broadcast semi join when cand0 is small, so the posting stream is
-    // filtered map-side and only candidate postings reach the explode
+    // filtered map-side and only candidate postings reach the shuffle
     val narrowed = slotDfs.reduce(_ unionByName _)
       .join(cand0, Seq("doc_id"), "left_semi")
-    val occ = narrowed
-      .select(col("doc_id"), col("slot"), explode(col("ps")).as("pos"))
-      .select(col("doc_id"), (col("pos") - col("slot")).as("start"), col("slot"))
-    // distinct-slot completeness as ONE single-phase aggregation: slots are
-    // small ints, so bit_or of (1 << slot) + popcount == n is exactly
-    // count_distinct(slot) == n without the expand + two-phase agg Spark
-    // plans for countDistinct (halves the shuffle of the adjacency pass);
-    // phrases beyond 63 tokens would overflow the mask — no such queries
-    // exist, but fall back to countDistinct for completeness
-    val complete =
-      if (n <= 63)
-        occ.groupBy("doc_id", "start")
-          .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), slot)")).as("mask"))
-          .filter(bit_count(col("mask")) === n)
-      else
-        occ.groupBy("doc_id", "start")
-          .agg(countDistinct(col("slot")).as("ns"))
-          .filter(col("ns") === n)
+    // Doc-grouped adjacency check instead of the (doc_id, start)
+    // aggregation: exploding to occurrence rows and bit_or-masking starts
+    // built a hash aggregate over ~one key per OCCURRENCE (measured at the
+    // 480k bench corpus: 11.8M (doc,start) keys, 2.9 s of the 3.8 s
+    // adjacency cost — noop-isolated, tools/PosProfile). Here the
+    // POSTING-level rows (doc_id, positions array, slot) shuffle once on
+    // doc_id — packed primitive arrays, ~tf× fewer rows and bytes — and a
+    // streaming per-doc n-way sorted intersection over slot-normalized
+    // positions answers "∃ start: every slot occupied" with early exit and
+    // zero per-occurrence keys. Explicit partition count (REPARTITION_BY_NUM,
+    // exempt from AQE size coalescing): the check is CPU-per-posting bound
+    // while its shuffle bytes are tiny — the same trap as the build's
+    // encode stage. Works for any slot count (no 63-slot mask cap).
+    val spark = index.sparkSession
+    import spark.implicits._
+    val matched = narrowed
+      .select(col("doc_id"), col("slot"), col("ps"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Int, Array[Int])]
+      .mapPartitions(rows =>
+        CompressedSearchEngine.adjacentDocs(rows, n))
+      .toDF("doc_id")
     // no .distinct(): every consumer is a left_semi probe or a flag groupBy,
-    // both of which tolerate (and dedup) repeated doc_ids — the explicit
-    // distinct planned a whole extra exchange + two-phase aggregate
-    Some(complete.select("doc_id"))
+    // both of which tolerate (and dedup) repeated doc_ids (and this path
+    // already emits each matching doc once)
+    Some(matched)
   }
 
   /** P4 phrase candidates: conjunctive tokens, optionally narrowed by the
@@ -509,6 +514,88 @@ final class CompressedSearchEngine(val index: DataFrame, val nDocs: Long,
 }
 
 object CompressedSearchEngine {
+
+  /** Streaming per-document adjacency check over doc_id-sorted posting rows
+    * `(doc_id, slot, positions)`: emits each doc_id for which some start
+    * position has EVERY slot i occupied at start + i — i.e. the n-way
+    * sorted intersection of the slot-normalized (pos − slot) position sets
+    * is non-empty (early exit on first witness). One document's arrays are
+    * live at a time; input order within a document is irrelevant. */
+  private[search] def adjacentDocs(rows: Iterator[(Long, Int, Array[Int])],
+                                   n: Int): Iterator[Long] = new Iterator[Long] {
+    private var pending: (Long, Int, Array[Int]) = null
+    private var nextDoc = 0L
+    private var hasNextDoc = false
+
+    private def docMatches(perSlot: Array[scala.collection.mutable.ArrayBuffer[Array[Int]]]): Boolean = {
+      val norm = new Array[Array[Int]](n)
+      var i = 0
+      while (i < n) {
+        val bufs = perSlot(i)
+        if (bufs == null) return false // a slot with no occurrences
+        var tot = 0
+        bufs.foreach(tot += _.length)
+        val a = new Array[Int](tot)
+        var o = 0
+        bufs.foreach { b =>
+          var j = 0
+          while (j < b.length) { a(o) = b(j) - i; o += 1; j += 1 }
+        }
+        if (a.isEmpty) return false
+        java.util.Arrays.sort(a)
+        norm(i) = a
+        i += 1
+      }
+      // n-way sorted intersection, pointers advance to the running max
+      val ptr = new Array[Int](n)
+      var target = norm(0)(0)
+      var agree = 0 // how many consecutive arrays currently sit on target
+      var k = 0
+      while (true) {
+        val a = norm(k)
+        var p = ptr(k)
+        while (p < a.length && a(p) < target) p += 1
+        if (p == a.length) return false
+        ptr(k) = p
+        if (a(p) == target) {
+          agree += 1
+          if (agree == n) return true
+        } else { // a(p) > target: restart agreement from this array
+          target = a(p)
+          agree = 1
+        }
+        k = (k + 1) % n
+      }
+      false // unreachable
+    }
+
+    private def advance(): Unit = {
+      hasNextDoc = false
+      while (!hasNextDoc && (pending != null || rows.hasNext)) {
+        var cur = if (pending != null) pending else rows.next()
+        pending = null
+        val doc = cur._1
+        val perSlot = new Array[scala.collection.mutable.ArrayBuffer[Array[Int]]](n)
+        var done = false
+        while (!done) {
+          val slot = cur._2
+          if (perSlot(slot) == null)
+            perSlot(slot) = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+          perSlot(slot) += cur._3
+          if (rows.hasNext) {
+            val nx = rows.next()
+            if (nx._1 == doc) cur = nx
+            else { pending = nx; done = true }
+          } else done = true
+        }
+        if (docMatches(perSlot)) { nextDoc = doc; hasNextDoc = true }
+      }
+    }
+
+    advance()
+    def hasNext: Boolean = hasNextDoc
+    def next(): Long = { val d = nextDoc; advance(); d }
+  }
   /** Corpus size above which adaptive MaxScore pruning pays for its extra
     * driver round-trips (see [[CompressedSearchEngine.searchPruned]]).
     *
