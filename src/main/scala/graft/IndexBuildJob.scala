@@ -52,7 +52,15 @@ private final class BuildMetricsListener extends SparkListener {
     val all = taskDur.toSeq.map { case (id, ds) => (id, ds.toSeq) }
     val total = all.iterator.flatMap(_._2).map(_.toDouble).sum
     all.collect {
-      case (id, ds) if ds.length >= 8 && ds.map(_.toDouble).sum >= 0.05 * total =>
+      // Max-task floor (1 s): a stage whose LONGEST task is sub-second
+      // cannot gate the build or evidence a hot key — at that granularity
+      // max/median measures committer variance and page-cache luck, not
+      // balance (observed: a byte-uniform 32-task index write posting 8×
+      // from 0.1-0.9 s tasks once the r6 persist removal pushed it over
+      // the 5% significance line). Real skew stages (multi-second
+      // stragglers) are unaffected.
+      case (id, ds) if ds.length >= 8 && ds.map(_.toDouble).sum >= 0.05 * total &&
+          ds.max >= 1000L =>
         val s = ds.sorted
         // Median over BUSY tasks (≥ max/10) only: a bucket's scan stage is
         // planned over the whole corpus file list and parquet min/max

@@ -328,7 +328,14 @@ object CheckpointedBuild {
     val avgdl = ms.map(_.tokens).sum.toDouble / docsTok
     val index = InvertedIndex.mergeSegments(
       segAll.select("term", "seg", "pos", "n"), avgdl)
-    InvertedIndex.write(index, s"$outDir/index", io = io)
+    // Output partition count from the manifests' byte sums (segment bytes ≈
+    // final payload bytes: the merge byte-concatenates the same streams) —
+    // free metadata, so the write path needs no persist and no byte agg
+    // (see InvertedIndex.write: the columnar-cache materialization of 4 MB
+    // chunk payloads was pure GC pressure in the timed build).
+    val idxBytes = ms.map(_.bytes).sum
+    InvertedIndex.write(index, s"$outDir/index",
+      nPartitions = InvertedIndex.writeParts(spark, idxBytes), io = io)
     Files.writeString(Paths.get(s"$outDir/scalars.json"),
       s"""{"n_docs": $nDocs, "avgdl": $avgdl, "buckets": $nBuckets, "status": "published"}""")
     BuildStats(nDocs, avgdl, nBuckets)

@@ -243,6 +243,18 @@ object InvertedIndex {
     * spot; matches the default maxPartitionBytes read granularity). */
   val WriteTargetBytes: Long = 128L << 20
 
+  /** Scale-adaptive write partition count: bytes-driven above, floored at
+    * max(32, 2 tasks per core) below. The floor must keep per-task volume
+    * SMALL: an 8-partition write at 1.92M files put ~320 MB of 4 MB chunk
+    * rows through each task's shuffle-fetch → sort → parquet buffer chain
+    * and profiled 10.2 s of GC in the write stage (the same
+    * accumulate-big-arrays storm the old persist path had); at 32
+    * partitions the same data streams through short tasks with zero GC.
+    * On a wide cluster the byte term dominates and nothing changes. */
+  def writeParts(spark: SparkSession, payloadBytes: Long): Int =
+    math.max(math.max(32L, 2L * spark.sparkContext.defaultParallelism),
+      (payloadBytes + WriteTargetBytes - 1) / WriteTargetBytes).toInt
+
   /** Persist with explicit range partitioning of terms (north rule): each
     * output file covers a contiguous term range → min/max parquet stats give
     * query-term file pruning, and heavy terms are spread over the range
@@ -257,35 +269,42 @@ object InvertedIndex {
     * partitions — more partitions directly split the hottest term range. */
   def write(index: DataFrame, path: String, nPartitions: Int = -1,
             io: graft.sources.TableIO = graft.sources.ParquetTableIO): Unit = {
-    // repartitionByRange SAMPLES its child to pick range bounds, then
-    // executes it again for the real write — without a persist that runs
-    // the whole merge aggregation twice (measured as two back-to-back
-    // ~4 s-CPU stages at 480k files). MEMORY_AND_DISK keeps the scale
-    // posture: chunks spill to local disk instead of re-running the merge.
-    val cached = index.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val parts =
-        if (nPartitions > 0) nPartitions
-        else {
-          val bytes = cached.agg(coalesce(sum(
-            length(col("postings")).cast("long") +
-              length(col("positions")).cast("long")), lit(0L)))
-            .head().getLong(0)
-          math.max(32L, (bytes + WriteTargetBytes - 1) / WriteTargetBytes).toInt
-        }
-      // Row groups sized to ONE chunk row (ChunkTargetBytes): parquet scans
-      // split at row-group granularity, so the default 128 MB row groups
-      // made a term's whole posting data one read task no matter what
-      // maxPartitionBytes asked for (measured: a 3-term BM25 decode+agg ran
-      // 1-2 tasks at 480k docs). Chunk-sized row groups give query scans
-      // chunk-level parallelism AND per-chunk term min/max stats (finer
-      // row-group pruning for point lookups).
-      io.overwrite(
-        cached.repartitionByRange(parts, col("term"), col("chunk_id"))
-          .sortWithinPartitions("term", "chunk_id"), path,
-        Map("parquet.block.size" -> ChunkTargetBytes.toString))
-    } finally cached.unpersist()
+    // Row groups sized to ONE chunk row (ChunkTargetBytes): parquet scans
+    // split at row-group granularity, so the default 128 MB row groups
+    // made a term's whole posting data one read task no matter what
+    // maxPartitionBytes asked for (measured: a 3-term BM25 decode+agg ran
+    // 1-2 tasks at 480k docs). Chunk-sized row groups give query scans
+    // chunk-level parallelism AND per-chunk term min/max stats (finer
+    // row-group pruning for point lookups).
+    val opts = Map("parquet.block.size" -> ChunkTargetBytes.toString)
+    def rangeWrite(df: DataFrame, parts: Int): Unit =
+      io.overwrite(df.repartitionByRange(parts, col("term"), col("chunk_id"))
+        .sortWithinPartitions("term", "chunk_id"), path, opts)
+    if (nPartitions > 0) {
+      // Caller-sized write (CheckpointedBuild derives the partition count
+      // from its manifests' byte sums — free metadata): NO persist. The
+      // persist existed only to keep repartitionByRange's range-bound
+      // sampling pass from re-running the merge, but materializing the
+      // chunked index into the columnar cache allocates every ~4 MB
+      // payload into cache batches — profiled at 1.92M files / 4 cores as
+      // 9.9 s of GC in a 15.2 s stage, more than the merge re-run it
+      // avoids. The sample pass re-executes the (cheap, streaming) merge
+      // reduce instead; the write pass is the second and last execution.
+      rangeWrite(index, nPartitions)
+    } else {
+      // auto-size from the index's payload bytes — callers without
+      // manifest metadata; one cheap agg over the persisted chunks, and
+      // the persist then also feeds the sample + write passes
+      val cached = index.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val bytes = cached.agg(coalesce(sum(
+          length(col("postings")).cast("long") +
+            length(col("positions")).cast("long")), lit(0L)))
+          .head().getLong(0)
+        rangeWrite(cached, writeParts(index.sparkSession, bytes))
+      } finally cached.unpersist()
+    }
   }
 
   def load(spark: SparkSession, path: String,
