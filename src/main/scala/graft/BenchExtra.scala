@@ -91,8 +91,12 @@ object BenchExtra {
 
     def measure(name: String, mk: => DataFrame, reps: Int = 3): Unit = {
       sc.setJobDescription(s"extra:$name")
-      dumpPlan(name, mk)
-      mk.collect() // warm (plan + codegen)
+      val warm = mk
+      warm.collect() // warm (plan + codegen)
+      // dump AFTER execution: AQE's final plan (ReusedExchange, runtime
+      // join strategy, coalesced reads) is the shape that actually ran —
+      // the pre-execution explain shows duplicated subtrees AQE dedups
+      dumpPlan(name, warm)
       val t = median((1 to reps).map(_ => timed(mk.collect())._2))
       out(name) = t
       println(f"[extra] $name%-22s p50=${t}%8.4f s")
@@ -102,9 +106,10 @@ object BenchExtra {
     def measureCold(name: String, mk: => DataFrame,
                     action: DataFrame => Unit): Unit = {
       sc.setJobDescription(s"extra:$name")
-      val tc = timed(action(mk))._2
+      val warm = mk
+      val tc = timed(action(warm))._2
       out(s"${name}_cold") = tc
-      dumpPlan(name, mk)
+      dumpPlan(name, warm) // post-execution: AQE-final shape (see measure)
       val t = median((1 to 3).map(_ => timed(action(mk))._2))
       out(name) = t
       println(f"[extra] $name%-22s cold=${tc}%8.4f s p50=${t}%8.4f s")
