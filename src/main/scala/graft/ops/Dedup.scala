@@ -181,8 +181,8 @@ object Dedup {
     *
     * Output: (doc_id, cluster_id) for every doc appearing in a pair, with
     * cluster_id = min doc_id of the component. Reference analog: the image
-    * dedup pass keeps one stored object per duplicate group
-    * (Backend/ImageStorageService.java:64-83) — this is that grouping made
+    * insert pass keeps one stored object per duplicate-URL group
+    * (dbManager/dbManager.java:426-465) — this is that grouping made
     * transitive, which is what a training-data dedup actually needs (A~B
     * and B~C must collapse to ONE kept document even when A~C was never
     * emitted as a pair). */
@@ -221,6 +221,15 @@ object Dedup {
       iter += 1
     }
     e.unpersist()
+    // Silent truncation at maxIter would return WRONG cluster_ids (and
+    // representatives() would then keep several docs of one true cluster).
+    // Near-clique LSH graphs converge in a handful of rounds; a component
+    // whose propagation distance exceeds maxIter is the documented cue to
+    // switch to large-star/small-star — fail loudly instead of guessing.
+    require(done,
+      s"clusters: min-label propagation did not converge in $maxIter " +
+        "rounds (component diameter exceeds maxIter); raise maxIter or " +
+        "use the large-star/small-star alternation for long-path graphs")
     // the final round's persisted frame intentionally stays cached: the
     // returned plan projects it, and unpersisting here would force a full
     // recompute of the whole iteration chain on first use

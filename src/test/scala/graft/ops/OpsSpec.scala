@@ -54,6 +54,10 @@ class OpsSpec extends SparkSpec {
     assert(cl.toMap === (1L to 6L).map(_ -> 1L).toMap)
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.clusters(empty).isEmpty)
+    // non-convergence within maxIter must fail loudly, never return a
+    // silently-truncated (wrong) labeling
+    val ex = intercept[IllegalArgumentException](Dedup.clusters(chain, maxIter = 2))
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("simhash: identical docs get identical hashes; hash is stable") {
